@@ -1,0 +1,119 @@
+"""Bit-sliced slab kernel — the NumPy heart of every index strategy.
+
+A *slab* is the transposed ("bit-sliced") layout of N packed filters:
+``uint64[m, ceil(N/64)]`` where word ``(b, s)`` holds bit ``b`` of filters
+``64s .. 64s+63``. This is the distributed re-expression of the reference's
+FlatBloofi index (`FlatBloofi.java:55-60`: per 64-filter block a long[m];
+search ANDs only the k query-bit rows, `FlatBloofi.java:188-205`) — except
+vectorized across the whole partition instead of 64 filters at a time.
+
+Containment-search cost is O(k * N/64) word-ANDs, identical to the
+reference's documented cost, but executed as ~k fused NumPy array ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mdbloom import bits as B
+
+U64 = B.U64
+
+
+def build_slab(filters: np.ndarray, m: int) -> np.ndarray:
+    """(N, W) packed filters -> (m, S) slab, S = ceil(N/64).
+
+    Pure transpose: unpack to an (N, m) bit matrix, flip to (m, N), repack
+    along the filter axis. No per-filter Python (contrast the reference's
+    per-insert `setBloomAt`, `FlatBloofi.java:108-112` — we build whole
+    partitions at once)."""
+    n = filters.shape[0]
+    if n == 0:
+        return np.zeros((m, 0), dtype=U64)
+    bit_matrix = B.unpack(filters, m)            # (N, m) uint8
+    return B.pack_bits_matrix(bit_matrix.T)      # (m, S) uint64
+
+
+def slab_to_filters(slab: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`build_slab` — (m, S) slab + slot count -> (N, W)."""
+    m = slab.shape[0]
+    if n == 0:
+        return B.zeros(m, 0)
+    bit_matrix = B.unpack(slab, n)               # (m, N)
+    return B.pack_bits_matrix(bit_matrix.T)      # (N, W)
+
+
+def query_slab(slab: np.ndarray, query_bits: np.ndarray, n_slots: int) -> np.ndarray:
+    """Containment search: slots whose filter has ALL query bits set.
+
+    ANDs the k query-bit rows (`FlatBloofi.java:190-196`) and decodes the
+    surviving slot bits. Empty query matches every slot (the container's
+    empty-hasher semantics, `ContainerImpl.java:159-169`)."""
+    if n_slots == 0:
+        return np.empty(0, dtype=np.int64)
+    query_bits = np.asarray(query_bits, dtype=np.int64)
+    if query_bits.size == 0:
+        return np.arange(n_slots, dtype=np.int64)
+    # early-exit guard (reference O3: RangePacked.java:184-188)
+    acc = np.bitwise_and.reduce(slab[query_bits], axis=0)
+    if not acc.any():
+        return np.empty(0, dtype=np.int64)
+    hits = np.flatnonzero(B.unpack(acc, n_slots))
+    return hits.astype(np.int64)
+
+
+def query_slab_exact(slab: np.ndarray, query: np.ndarray, m: int,
+                     n_slots: int) -> np.ndarray:
+    """Exact (bit-for-bit) match against a slab: all query bits set AND all
+    non-query bits clear — the FlatBloofi exact-get semantics over ALL m
+    bit-columns including zero bits (`FlatBloofi.java:114-150`)."""
+    if n_slots == 0:
+        return np.empty(0, dtype=np.int64)
+    qbits = np.flatnonzero(B.unpack(query, m)).astype(np.int64)
+    cand = query_slab(slab, qbits, n_slots)
+    if cand.size == 0:
+        return cand
+    zero_rows = np.setdiff1d(np.arange(m, dtype=np.int64), qbits, assume_unique=True)
+    if zero_rows.size == 0:
+        return cand
+    union_zero = np.bitwise_or.reduce(slab[zero_rows], axis=0)
+    zero_hit = B.unpack(union_zero, n_slots)     # slots with ANY extra bit
+    return cand[zero_hit[cand] == 0]
+
+
+def linear_search(filters: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Row-layout containment scan (reference Linear index,
+    `Linear.java:134-140`): O(N * W) vectorized AND+compare."""
+    if filters.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.flatnonzero(B.contains(filters, query)).astype(np.int64)
+
+
+def summary_filter(filters: np.ndarray, m: int) -> np.ndarray:
+    """OR of all filters — the Bloofi-tree inner-node summary used for
+    hierarchical/partition pruning (reference Trie inner nodes store the
+    union along paths implicitly; our distributed analogue is SURVEY §2.3
+    I5). A query can only match inside a partition whose summary contains
+    every query bit."""
+    if filters.shape[0] == 0:
+        return B.zeros(m)
+    return np.bitwise_or.reduce(filters, axis=0)
+
+
+def gate_counts(filters: np.ndarray, m: int) -> np.ndarray:
+    """Counting-gate vector: per-bit count of filters having that bit set
+    (re-expression of the container's CountingBloomFilter gate,
+    `ContainerImpl.java:58-61,92-93`). Sum-mergeable across partitions;
+    supports deletion by subtraction."""
+    if filters.shape[0] == 0:
+        return np.zeros(m, dtype=np.int64)
+    return B.unpack(filters, m).astype(np.int64).sum(axis=0)
+
+
+def gate_contains(counts: np.ndarray, query_bits: np.ndarray) -> bool:
+    """Gate short-circuit: every query bit has count > 0
+    (`ContainerImpl.java:115,138,171`)."""
+    query_bits = np.asarray(query_bits, dtype=np.int64)
+    if query_bits.size == 0:
+        return True
+    return bool(np.all(counts[query_bits] > 0))
