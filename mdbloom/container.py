@@ -1,0 +1,396 @@
+"""Local (single-process) multidimensional Bloom container.
+
+Re-expression of the reference's public API — `Container.java:36-221`:
+``put`` / ``get`` (exact, bit-for-bit) / ``search`` (containment) /
+``remove`` / ``getValueCount`` / ``getFilterCount`` — with the orchestration
+semantics of `ContainerImpl.java:87-217`:
+
+  * every operation is gated by a counting Bloom filter sized from the
+    estimated population (default ``1/p``, `ContainerImpl.java:70-72`);
+  * index keys are content-addressed from the filter bytes
+    (`ContainerImplTest.java:138-162`), so duplicate filters share one
+    index entry and values append (multimap storage,
+    `Container.java:171-177`);
+  * an empty query matches everything (`ContainerImpl.java:159-169`);
+  * ``remove`` deletes a value only when the stored filter matches exactly
+    AND the value compares equal; the index entry is dropped when its value
+    list empties (`ContainerImpl.java:134-153`).
+
+Index strategies mirror the reference's Index SPI (`Container.java:111-169`)
+as NumPy structures; the Spark engine reuses the same kernel per partition.
+
+This module is the *small* end of the engine: it exists for contract parity
+tests and driver-side query planning. The distributed path is
+``mdbloom.spark``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from mdbloom import bits as B
+from mdbloom import kernel as K
+from mdbloom.hashing import TokenMaskCache, hash_unique_tokens, km_positions_matrix
+from mdbloom.shape import Shape
+
+
+# ---------------------------------------------------------------- hashers
+
+class Hasher:
+    """Shape-agnostic bit-position producer (role of the reference's
+    ``Hasher``: the same hasher yields bits for the container shape and the
+    differently-sized gate shape, `ContainerImpl.java:92-93,115`)."""
+
+    def bit_positions(self, shape: Shape) -> np.ndarray:
+        raise NotImplementedError
+
+    def filter(self, shape: Shape) -> np.ndarray:
+        return B.from_bits(self.bit_positions(shape), shape.m)
+
+    @property
+    def is_empty(self) -> bool:
+        raise NotImplementedError
+
+
+class TokenHasher(Hasher):
+    """Dynamic hasher: one dimension per token (reference ``DynamicHasher``
+    usage, `ContainerImplTest.java:77-85` — one ``with()`` per word)."""
+
+    def __init__(self, tokens: Iterable[str]):
+        self.tokens = [t for t in tokens]
+
+    def bit_positions(self, shape: Shape) -> np.ndarray:
+        if not self.tokens:
+            return np.empty(0, dtype=np.int64)
+        h1s, h2s = hash_unique_tokens(sorted(set(self.tokens)))
+        pos = km_positions_matrix(h1s, h2s, shape)
+        return np.unique(pos.ravel())
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.tokens) == 0
+
+
+class PinnedHasher(Hasher):
+    """Test hasher pinning explicit bit positions — the role of the
+    reference's ``CachingHasher`` fixtures whose (h1, h2=0) pairs pin exactly
+    one bit each (`IndexTest.java:68,84-85,104-107`). Positions are taken
+    mod the target shape's m (shape-agnostic, like the reference)."""
+
+    def __init__(self, bits: Iterable[int]):
+        self.bits = list(bits)
+
+    def bit_positions(self, shape: Shape) -> np.ndarray:
+        if not self.bits:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.asarray(self.bits, dtype=np.int64) % shape.m)
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.bits) == 0
+
+
+# ---------------------------------------------------------------- indexes
+
+class BaseIndex:
+    """Index SPI: structure over the set of DISTINCT filters
+    (`Container.java:111-169`). Keys are content-addressed md5 hex of the
+    canonical filter bytes (every reference ``Index.create`` delegates to
+    the injected content-addressing function, e.g. `Linear.java:149-151`)."""
+
+    def __init__(self, shape: Shape):
+        self.shape = shape
+
+    @staticmethod
+    def create(filt: np.ndarray) -> str:
+        return B.content_key(filt)
+
+    def get(self, filt: np.ndarray) -> Optional[str]:
+        raise NotImplementedError
+
+    def put(self, key: str, filt: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def remove(self, key: str) -> None:
+        raise NotImplementedError
+
+    def search(self, filt: np.ndarray) -> list[str]:
+        raise NotImplementedError
+
+    def get_all(self) -> list[str]:
+        raise NotImplementedError
+
+    @property
+    def filter_count(self) -> int:
+        raise NotImplementedError
+
+
+class LinearIndex(BaseIndex):
+    """Full-scan index (reference `Linear.java:44-163`): stores whole
+    filters per entry, search is a vectorized containment scan
+    (`Linear.java:134-140`), exact get a key lookup."""
+
+    def __init__(self, shape: Shape):
+        super().__init__(shape)
+        self._filters: dict[str, np.ndarray] = {}
+
+    def get(self, filt):
+        key = self.create(filt)
+        return key if key in self._filters else None
+
+    def put(self, key, filt):
+        self._filters[key] = filt.copy()
+
+    def remove(self, key):
+        self._filters.pop(key, None)
+
+    def search(self, filt):
+        if not self._filters:
+            return []
+        keys = list(self._filters)
+        stacked = np.stack([self._filters[k] for k in keys])
+        hits = K.linear_search(stacked, filt)
+        return [keys[i] for i in hits]
+
+    def get_all(self):
+        return list(self._filters)
+
+    @property
+    def filter_count(self):
+        return len(self._filters)
+
+
+class FlatSlabIndex(BaseIndex):
+    """Bit-sliced (transposed) index — reference FlatBloofi
+    (`FlatBloofi.java:48-227`), vectorized over the whole population instead
+    of 64-filter blocks. Search ANDs the k query-bit rows
+    (`FlatBloofi.java:188-205`); exact get scans ALL m bit-columns including
+    zero bits (`FlatBloofi.java:114-150`); delete clears the slot's column
+    bits and recycles the slot via a free list (`FlatBloofi.java:95-101,
+    153-174`). getFilterCount counts LIVE slots — the reference counts
+    deleted ones too (`FlatBloofi.java:207-210`), a quirk SURVEY §2.3 says
+    not to replicate."""
+
+    def __init__(self, shape: Shape, capacity: int = 64):
+        super().__init__(shape)
+        cap_words = max(1, (capacity + 63) >> 6)
+        self._slab = np.zeros((shape.m, cap_words), dtype=B.U64)
+        self._capacity = cap_words << 6
+        self._n_slots = 0          # high-water mark
+        self._free: list[int] = []
+        self._slot_key: dict[int, str] = {}
+        self._key_slot: dict[str, int] = {}
+
+    def _grow(self):
+        new = np.zeros((self.shape.m, self._slab.shape[1] * 2), dtype=B.U64)
+        new[:, : self._slab.shape[1]] = self._slab
+        self._slab = new
+        self._capacity = new.shape[1] << 6
+
+    def _set_slot(self, slot: int, bit_positions: np.ndarray):
+        mask = np.uint64(1) << np.uint64(slot & 63)
+        self._slab[bit_positions, slot >> 6] |= mask
+
+    def _clear_slot(self, slot: int):
+        mask = ~(np.uint64(1) << np.uint64(slot & 63))
+        self._slab[:, slot >> 6] &= mask
+
+    def get(self, filt):
+        hits = K.query_slab_exact(self._slab, filt, self.shape.m, self._n_slots)
+        live = [int(s) for s in hits if s in self._slot_key]
+        if not live:
+            return None
+        if len(live) > 1:  # unreachable when put dedups, like the reference
+            raise RuntimeError("multiple exact matches")
+        return self._slot_key[live[0]]
+
+    def put(self, key, filt):
+        if key in self._key_slot:
+            return  # dedup on put (FlatBloofi.java:153-154)
+        slot = self._free.pop() if self._free else self._n_slots
+        if slot >= self._capacity:
+            self._grow()
+        if slot == self._n_slots:
+            self._n_slots += 1
+        bits_pos = np.flatnonzero(B.unpack(filt, self.shape.m)).astype(np.int64)
+        self._set_slot(slot, bits_pos)
+        self._slot_key[slot] = key
+        self._key_slot[key] = slot
+
+    def remove(self, key):
+        slot = self._key_slot.pop(key, None)
+        if slot is None:
+            return
+        self._clear_slot(slot)
+        del self._slot_key[slot]
+        self._free.append(slot)
+
+    def search(self, filt):
+        qbits = np.flatnonzero(B.unpack(filt, self.shape.m)).astype(np.int64)
+        hits = K.query_slab(self._slab, qbits, self._n_slots)
+        return [self._slot_key[int(s)] for s in hits if int(s) in self._slot_key]
+
+    def get_all(self):
+        return list(self._key_slot)
+
+    @property
+    def filter_count(self):
+        return len(self._key_slot)
+
+
+class TriePrunedIndex(BaseIndex):
+    """Hierarchically pruned index — the distributed analogue of the
+    reference's Trie4/Trie8 tree-of-filters (`Trie.java:42-52`,
+    `InnerNode.search` `InnerNode.java:118-133`): filters live in fixed-size
+    blocks, each block keeps an OR-merged summary filter; a query descends
+    only into blocks whose summary contains all query bits, then scans the
+    block linearly. This is exactly the per-partition summary + pruning-tree
+    scheme the Spark engine uses across partitions (SURVEY §2.3 I5)."""
+
+    BLOCK = 256
+
+    def __init__(self, shape: Shape, block: int | None = None):
+        super().__init__(shape)
+        self.block = block or self.BLOCK
+        self._blocks: list[dict] = []  # {keys: [..], filters: (B,W), summary}
+        self._key_block: dict[str, int] = {}
+
+    def _new_block(self):
+        self._blocks.append({
+            "keys": [],
+            "filters": [],
+            "summary": B.zeros(self.shape.m),
+        })
+
+    def get(self, filt):
+        key = self.create(filt)
+        return key if key in self._key_block else None
+
+    def put(self, key, filt):
+        if key in self._key_block:
+            return
+        if not self._blocks or len(self._blocks[-1]["keys"]) >= self.block:
+            self._new_block()
+        blk = self._blocks[-1]
+        blk["keys"].append(key)
+        blk["filters"].append(filt.copy())
+        blk["summary"] = B.merge_or(blk["summary"], filt)
+        self._key_block[key] = len(self._blocks) - 1
+
+    def remove(self, key):
+        bi = self._key_block.pop(key, None)
+        if bi is None:
+            return
+        blk = self._blocks[bi]
+        i = blk["keys"].index(key)
+        blk["keys"].pop(i)
+        blk["filters"].pop(i)
+        # recompute summary (summaries don't support subtraction)
+        blk["summary"] = (np.bitwise_or.reduce(np.stack(blk["filters"]), axis=0)
+                          if blk["filters"] else B.zeros(self.shape.m))
+
+    def search(self, filt):
+        out = []
+        for blk in self._blocks:
+            if not blk["keys"] or not B.contains(blk["summary"], filt):
+                continue  # pruned — query bit missing from the whole block
+            stacked = np.stack(blk["filters"])
+            for i in K.linear_search(stacked, filt):
+                out.append(blk["keys"][int(i)])
+        return out
+
+    def get_all(self):
+        return list(self._key_block)
+
+    @property
+    def filter_count(self):
+        return len(self._key_block)
+
+
+INDEX_STRATEGIES = {
+    "linear": LinearIndex,
+    "flat": FlatSlabIndex,
+    "tree": TriePrunedIndex,
+}
+
+
+# ---------------------------------------------------------------- container
+
+class BloomContainer:
+    """put / get / search / remove with counting-gate short-circuit and
+    multimap storage (`ContainerImpl.java:87-217`)."""
+
+    def __init__(self, shape: Shape, index: str | BaseIndex = "flat",
+                 estimated_population: int | None = None):
+        self.shape = shape
+        self.index = (INDEX_STRATEGIES[index](shape)
+                      if isinstance(index, str) else index)
+        self.gate_shape = shape.gate_shape(estimated_population)
+        self._gate = np.zeros(self.gate_shape.m, dtype=np.int64)
+        self._storage: dict[str, list] = {}
+        self._value_count = 0
+
+    # -- gate helpers (CountingBloomFilter semantics, ContainerImpl.java:58-61)
+    def _gate_bits(self, hasher: Hasher) -> np.ndarray:
+        return hasher.bit_positions(self.gate_shape)
+
+    def _gate_contains(self, hasher: Hasher) -> bool:
+        return K.gate_contains(self._gate, self._gate_bits(hasher))
+
+    # -- API
+    def put(self, hasher: Hasher, value: Any) -> None:
+        filt = hasher.filter(self.shape)
+        key = self.index.create(filt)
+        np.add.at(self._gate, self._gate_bits(hasher), 1)
+        self.index.put(key, filt)
+        self._storage.setdefault(key, []).append(value)
+        self._value_count += 1
+
+    def get(self, hasher: Hasher) -> list:
+        """Exact (bit-for-bit) match (`ContainerImpl.java:111-122`)."""
+        if not self._gate_contains(hasher):
+            return []
+        key = self.index.get(hasher.filter(self.shape))
+        return list(self._storage.get(key, [])) if key else []
+
+    def search(self, hasher: Hasher) -> list:
+        """Containment match; empty hasher matches all
+        (`ContainerImpl.java:155-182`)."""
+        if hasher.is_empty:
+            return [v for key in self.index.get_all()
+                    for v in self._storage.get(key, [])]
+        if not self._gate_contains(hasher):
+            return []
+        return [v for key in self.index.search(hasher.filter(self.shape))
+                for v in self._storage.get(key, [])]
+
+    def remove(self, hasher: Hasher, value: Any) -> None:
+        """Delete only on exact filter match AND value equality
+        (`ContainerImpl.java:134-153`)."""
+        if not self._gate_contains(hasher):
+            return
+        filt = hasher.filter(self.shape)
+        key = self.index.get(filt)
+        if key is None or key not in self._storage:
+            return
+        values = self._storage[key]
+        if value not in values:
+            return
+        values.remove(value)
+        self._value_count -= 1
+        np.subtract.at(self._gate, self._gate_bits(hasher), 1)
+        if not values:
+            del self._storage[key]
+            self.index.remove(key)
+
+    @property
+    def value_count(self) -> int:
+        """`Container.getValueCount` (`Container.java:38-43`)."""
+        return self._value_count
+
+    @property
+    def filter_count(self) -> int:
+        """`Container.getFilterCount` (`Container.java:45-50`)."""
+        return self.index.filter_count
