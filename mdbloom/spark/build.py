@@ -1,0 +1,406 @@
+"""Distributed Bloom index build (the `put` path at scale).
+
+Reference semantics being re-expressed (NOT ported): `ContainerImpl.put`
+(`ContainerImpl.java:124-132`) — hash each record's property values into one
+filter, content-address the key, dedup identical filters in the index,
+append the value to storage, update the gate. Here that becomes a 3-stage
+Spark pipeline (SURVEY §3.1):
+
+  1. **hash pass** (narrow, `mapInPandas`): tokenize each turn into
+     dimension tokens (role=…, tool=…, tok=…), OR the per-token masks into
+     one packed filter per turn — the inner k-hash loop is NumPy bitset
+     arithmetic on Arrow batches, no per-row Python;
+  2. **one shuffle** (`repartition(shard)`): co-locates each conversation's
+     turns; both downstream writes reuse it;
+  3. **per-shard artifacts** (`applyInPandas`): bit-sliced slab chunks
+     (FlatBloofi transposed layout, `FlatBloofi.java:55-60`), a slot map
+     (content-addressed keys, slot = rank of key in shard), storage rows,
+     and a manifest row per shard with OR-summary (pruning), per-bit
+     distinct-filter counts (gate analogue), lineage fingerprint and build
+     timing.
+
+Scale notes (100 TB story):
+  * the only wide exchange is the single repartition by ``shard``; skew is
+    bounded because shard = pmod(xxhash64(conv_id), n_shards) spreads
+    conversations uniformly — pick n_shards ~ a few per executor core;
+  * slabs are chunked (``chunk_slots`` slots per row) so no single Parquet
+    row exceeds ~m/8 * chunk_slots bytes and query-side scan parallelism
+    is per-chunk, not per-shard;
+  * resume: per-shard input fingerprints (count + bit_xor of row hashes —
+    order-independent, overflow-free) let a rerun skip shards whose inputs
+    are unchanged; partitioned writes use dynamic partition overwrite so
+    completed shards are never rewritten (SURVEY M5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdbloom import bits as B
+from mdbloom import kernel as K
+from mdbloom.hashing import TokenMaskCache
+from mdbloom.shape import Shape
+
+FILTER_SCHEMA = ("shard int, key string, conv_id string, turn_idx int, "
+                 "filter binary")
+SLAB_SCHEMA = ("shard int, chunk int, slot_lo long, n_slots int, "
+               "slab binary, build_ms double")
+MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
+                   "gate binary, build_ms double")
+
+# process-wide mask caches keyed by shape (executor python workers are
+# reused across batches, so the 5k-token vocabulary hashes once per worker)
+_MASK_CACHES: dict = {}
+
+
+def _mask_cache(shape: Shape) -> TokenMaskCache:
+    key = (shape.m, shape.k)
+    if key not in _MASK_CACHES:
+        _MASK_CACHES[key] = TokenMaskCache(shape)
+    return _MASK_CACHES[key]
+
+
+@dataclass
+class IndexConfig:
+    """Index geometry. ``n_per_record`` is the expected number of distinct
+    dimension tokens per record (sizes the Shape exactly like the
+    reference's per-container Shape, `ContainerImpl.java:87-94`)."""
+    n_per_record: int = 40
+    probability: float = 1e-3
+    n_shards: int = 32
+    chunk_slots: int = 65536
+    # per-shard token-gate geometry (the reference gate has its OWN shape
+    # sized for the population, not the per-record token count —
+    # `ContainerImpl.java:70-72,92-93`; a record-shaped OR-summary saturates
+    # after a few hundred records and prunes nothing). Fixed m keeps the
+    # driver-resident pruning tree small: gate_m/8 bytes per shard.
+    gate_m: int = 1 << 20
+    gate_k: int = 4
+    # dimension extraction: which columns become tagged tokens, and which
+    # column is whitespace-tokenized
+    tag_columns: tuple = ("role", "tool")
+    text_column: str = "text"
+    id_columns: tuple = ("conv_id", "turn_idx")
+    shape: Shape = field(init=False)
+    gate_shape: Shape = field(init=False)
+
+    def __post_init__(self):
+        self.shape = Shape.from_np(self.n_per_record, self.probability)
+        self.gate_shape = Shape.from_mk(self.gate_m, self.gate_k)
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps({
+            "n_per_record": self.n_per_record,
+            "probability": self.probability,
+            "n_shards": self.n_shards,
+            "chunk_slots": self.chunk_slots,
+            "gate_m": self.gate_m,
+            "gate_k": self.gate_k,
+            "tag_columns": list(self.tag_columns),
+            "text_column": self.text_column,
+            "id_columns": list(self.id_columns),
+            "shape": self.shape.to_dict(),
+        })
+
+    @staticmethod
+    def from_json(raw: str) -> "IndexConfig":
+        import json
+        d = json.loads(raw)
+        cfg = IndexConfig(
+            n_per_record=d["n_per_record"], probability=d["probability"],
+            n_shards=d["n_shards"], chunk_slots=d["chunk_slots"],
+            gate_m=d.get("gate_m", 1 << 20), gate_k=d.get("gate_k", 4),
+            tag_columns=tuple(d["tag_columns"]),
+            text_column=d["text_column"],
+            id_columns=tuple(d["id_columns"]))
+        return cfg
+
+
+def record_tokens_pandas(pdf: pd.DataFrame, cfg: IndexConfig):
+    """Vectorized dimension extraction for one Arrow batch: returns
+    (flat_tokens object array, row_ids int array). Tagged columns become
+    'col=value' tokens; the text column contributes 'tok=<word>' per
+    whitespace word — one hashed dimension per property value, mirroring
+    one Hasher ``with()`` per word (`ContainerImplTest.java:77-85`)."""
+    n = len(pdf)
+    flat_parts, row_parts = [], []
+    for col in cfg.tag_columns:
+        if col not in pdf.columns:
+            continue
+        vals = pdf[col]
+        present = vals.notna() & (vals != "none")
+        if present.any():
+            idx = np.flatnonzero(present.to_numpy())
+            toks = (col + "=" + vals.iloc[idx].astype(str)).to_numpy(dtype=object)
+            flat_parts.append(toks)
+            row_parts.append(idx)
+    if cfg.text_column and cfg.text_column in pdf.columns:
+        splits = pdf[cfg.text_column].fillna("").str.split()
+        counts = splits.str.len().fillna(0).astype(np.int64).to_numpy()
+        if counts.sum():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in splits.to_list() if x])
+            flat_parts.append(np.char.add("tok=", flat.astype(str)).astype(object))
+            row_parts.append(np.repeat(np.arange(n), counts))
+    if not flat_parts:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    return (np.concatenate(flat_parts),
+            np.concatenate(row_parts).astype(np.int64))
+
+
+def filters_for_batch(pdf: pd.DataFrame, cfg: IndexConfig) -> np.ndarray:
+    """(N, W) packed filters for one batch — vectorized mask OR-scatter."""
+    shape = cfg.shape
+    out = B.zeros(shape.m, len(pdf))
+    flat, rows = record_tokens_pandas(pdf, cfg)
+    if flat.size:
+        masks = _mask_cache(shape).masks_for(flat)
+        np.bitwise_or.at(out, rows, masks)
+    return out
+
+
+class BloomIndexWriter:
+    def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+
+    # ---------------- hash pass ----------------
+    def filters_df(self, df: DataFrame) -> DataFrame:
+        """transcripts -> (shard, key, conv_id, turn_idx, filter)."""
+        cfg = self.cfg
+        cols = list(cfg.id_columns) + [c for c in cfg.tag_columns
+                                       if c in df.columns]
+        if cfg.text_column:
+            cols.append(cfg.text_column)
+        sharded = df.select(*cols).withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
+                            F.lit(cfg.n_shards)).cast("int"))
+
+        id0, id1 = cfg.id_columns
+
+        def hash_batches(iterator):
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                packed = filters_for_batch(pdf, cfg).astype(B.U64)
+                yield pd.DataFrame({
+                    "shard": pdf["shard"].to_numpy(),
+                    "key": B.content_keys(packed),
+                    "conv_id": pdf[id0].to_numpy(),
+                    "turn_idx": pdf[id1].to_numpy(),
+                    "filter": [packed[i].tobytes() for i in range(len(pdf))],
+                })
+
+        return sharded.mapInPandas(hash_batches, schema=FILTER_SCHEMA)
+
+    # ---------------- token gate ----------------
+    def token_gate_df(self, df: DataFrame) -> DataFrame:
+        """(shard, token_gate binary, n_tokens): per-shard Bloom filter over
+        the shard's DISTINCT dimension tokens at the gate shape — the
+        pruning analogue of the reference's population-sized counting gate
+        (`ContainerImpl.java:92-93`). A query token absent from a shard's
+        vocabulary prunes the shard (mod the gate's own FPR)."""
+        cfg = self.cfg
+        gate_shape = cfg.gate_shape
+        cols = [c for c in cfg.tag_columns if c in df.columns]
+        sel = [cfg.id_columns[0]] + cols
+        if cfg.text_column and cfg.text_column in df.columns:
+            sel.append(cfg.text_column)
+        sharded = df.select(*sel).withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
+                            F.lit(cfg.n_shards)).cast("int"))
+
+        def extract(iterator):
+            for pdf in iterator:
+                if not len(pdf):
+                    continue
+                flat, rows = record_tokens_pandas(pdf, cfg)
+                if not flat.size:
+                    continue
+                out = pd.DataFrame({
+                    "shard": pdf["shard"].to_numpy()[rows],
+                    "token": flat,
+                }).drop_duplicates()
+                yield out
+
+        tokens = (sharded.mapInPandas(extract, schema="shard int, token string")
+                  .dropDuplicates(["shard", "token"]))
+
+        def build_gate(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            cache = _mask_cache(gate_shape)
+            masks = cache.masks_for(pdf["token"].to_numpy(dtype=object))
+            gate = np.bitwise_or.reduce(masks, axis=0) if len(masks) \
+                else B.zeros(gate_shape.m)
+            return pd.DataFrame([{"shard": shard,
+                                  "token_gate": B.to_bytes(gate),
+                                  "n_tokens": len(pdf)}])
+
+        return tokens.groupBy("shard").applyInPandas(
+            build_gate, schema="shard int, token_gate binary, n_tokens long")
+
+    # ---------------- fingerprints ----------------
+    def fingerprints(self, df: DataFrame) -> DataFrame:
+        """(shard, n_turns, fingerprint): order-independent per-shard input
+        fingerprint = count + bit_xor(xxhash64(id columns + text))."""
+        cfg = self.cfg
+        cols = [F.col(c) for c in cfg.id_columns]
+        if cfg.text_column and cfg.text_column in df.columns:
+            cols.append(F.col(cfg.text_column))
+        sharded = df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
+                            F.lit(cfg.n_shards)).cast("int"))
+        return (sharded
+                .withColumn("_h", F.xxhash64(*cols))
+                .groupBy("shard")
+                .agg(F.count("*").alias("n_turns"),
+                     F.expr("bit_xor(_h)").alias("fingerprint")))
+
+    # ---------------- artifacts ----------------
+    def _slab_udf(self):
+        cfg = self.cfg
+        shape = cfg.shape
+        chunk_slots = cfg.chunk_slots
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            t0 = time.monotonic()
+            shard = int(pdf["shard"].iloc[0])
+            pdf = pdf.sort_values("key", kind="mergesort")
+            raw = pdf["filter"].to_numpy()
+            filters = np.stack([np.frombuffer(r, dtype=B.U64) for r in raw]) \
+                if len(raw) else B.zeros(shape.m, 0)
+            n = filters.shape[0]
+            rows = []
+            for lo in range(0, n, chunk_slots):
+                sub = filters[lo:lo + chunk_slots]
+                slab = K.build_slab(sub, shape.m)
+                rows.append((shard, lo // chunk_slots, lo, sub.shape[0],
+                             B.to_bytes(slab), 0.0))
+            ms = (time.monotonic() - t0) * 1000.0
+            out = pd.DataFrame(rows, columns=["shard", "chunk", "slot_lo",
+                                              "n_slots", "slab", "build_ms"])
+            if len(out):
+                out["build_ms"] = ms / len(out)
+            return out
+
+        return build
+
+    def _manifest_udf(self):
+        shape = self.cfg.shape
+
+        def mk(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            gate = np.zeros(shape.m, dtype=np.int64)
+            n_slots = 0
+            for _, row in pdf.iterrows():
+                slab = np.frombuffer(row["slab"], dtype=B.U64).reshape(
+                    shape.m, -1)
+                gate += B.popcount64(slab).sum(axis=1)
+                n_slots += int(row["n_slots"])
+            summary = B.pack_bits_matrix((gate > 0).astype(np.uint8))
+            return pd.DataFrame([{
+                "shard": shard,
+                "n_slots": n_slots,
+                "n_chunks": len(pdf),
+                "summary": B.to_bytes(summary),
+                "gate": gate.astype("<i8").tobytes(),
+                "build_ms": float(pdf["build_ms"].sum()),
+            }])
+
+        return mk
+
+    # ---------------- build ----------------
+    def build(self, df: DataFrame, path: str, resume: bool = False) -> dict:
+        """Build (or incrementally resume) the index at ``path``.
+
+        Returns per-run metrics: shards built/skipped, rows, wall seconds.
+        """
+        spark = self.spark
+        cfg = self.cfg
+        t0 = time.monotonic()
+        os.makedirs(path, exist_ok=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        fp_df = self.fingerprints(df)
+        skip_shards: list[int] = []
+        old_manifest = None
+        manifest_path = os.path.join(path, "manifest")
+        if resume and os.path.exists(manifest_path):
+            old_manifest = spark.read.parquet(manifest_path)
+            old_fp = old_manifest.select("shard", "n_turns", "fingerprint")
+            matched = (fp_df.alias("new")
+                       .join(old_fp.alias("old"),
+                             ["shard", "n_turns", "fingerprint"], "inner")
+                       .select("shard"))
+            skip_shards = [r.shard for r in matched.collect()]
+
+        fp_pdf = fp_df.toPandas()
+        build_shards = sorted(set(fp_pdf["shard"]) - set(skip_shards))
+        if not build_shards:
+            return {"built": 0, "skipped": len(skip_shards),
+                    "rows": 0, "sec": time.monotonic() - t0}
+
+        src = df if not skip_shards else df.where(
+            F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
+                   F.lit(cfg.n_shards)).cast("int").isin(build_shards))
+
+        filters = (self.filters_df(src)
+                   .repartition(cfg.n_shards, "shard")
+                   .persist())
+        try:
+            n_rows = filters.count()  # materialize once; reused below
+
+            (filters.select("shard", "key", "conv_id", "turn_idx")
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(path, "storage")))
+
+            distinct = filters.select("shard", "key", "filter") \
+                .dropDuplicates(["shard", "key"])
+            from pyspark.sql.window import Window
+            slot_w = Window.partitionBy("shard").orderBy("key")
+            (distinct.withColumn("slot",
+                                 F.row_number().over(slot_w) - F.lit(1))
+             .select("shard", "slot", "key")
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(path, "slotmap")))
+
+            slabs = distinct.groupBy("shard").applyInPandas(
+                self._slab_udf(), schema=SLAB_SCHEMA)
+            slabs.write.mode("overwrite").partitionBy("shard") \
+                .parquet(os.path.join(path, "slabs"))
+        finally:
+            filters.unpersist()
+
+        slabs_rd = spark.read.parquet(os.path.join(path, "slabs")) \
+            .where(F.col("shard").isin(build_shards))
+        manifest_new = (slabs_rd.groupBy("shard")
+                        .applyInPandas(self._manifest_udf(),
+                                       schema=MANIFEST_SCHEMA)
+                        .join(fp_df, "shard")
+                        .join(self.token_gate_df(src), "shard", "left"))
+        if old_manifest is not None and skip_shards:
+            manifest_all = manifest_new.unionByName(
+                old_manifest.where(F.col("shard").isin(skip_shards)))
+        else:
+            manifest_all = manifest_new
+        # small table: coalesce and overwrite atomically via temp + rename
+        tmp = manifest_path + "_tmp"
+        manifest_all.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+        if os.path.exists(manifest_path):
+            shutil.rmtree(manifest_path)
+        os.rename(tmp, manifest_path)
+
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(self.cfg.to_json())
+
+        return {"built": len(build_shards), "skipped": len(skip_shards),
+                "rows": int(n_rows), "sec": time.monotonic() - t0}

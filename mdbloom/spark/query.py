@@ -1,0 +1,208 @@
+"""Distributed Bloom index queries (`search` / `get` at scale).
+
+Reference semantics (SURVEY §3.2-3.3):
+  * ``search`` — containment: every stored filter with ALL query bits set
+    (`ContainerImpl.java:155-182`); empty query matches everything;
+  * ``get`` — bit-for-bit exact match; content addressing makes it a key
+    equality lookup (`RangePacked.java:131-135`).
+
+Query plan:
+  1. query tokens -> bit positions (driver-side NumPy, same md5 + enhanced
+     double hashing as the build);
+  2. **gate/summary pruning** (reference gate short-circuit,
+     `ContainerImpl.java:171`): the manifest (one small row per shard) is
+     collected once; shards whose OR-summary lacks any query bit are never
+     scanned — the distributed analogue of the Bloofi tree descent;
+  3. **slab scan** (`mapInPandas` over surviving slab chunks): AND the k
+     query-bit rows per chunk, emit (shard, slot) hits
+     (`FlatBloofi.java:188-205` word-parallel AND, whole chunks at a time);
+  4. hits ⋈ slotmap -> keys; storage ⋈ keys (left-semi) -> values.
+
+Every join key carries ``shard`` so the joins stay co-partitioned with the
+Parquet partition layout; the hits side is tiny for selective queries and
+broadcast-joins under AQE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdbloom import bits as B
+from mdbloom import kernel as K
+from mdbloom.hashing import TokenMaskCache
+from mdbloom.spark.build import IndexConfig
+
+HIT_SCHEMA = "shard int, slot long"
+
+
+class BloomIndexReader:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "config.json")) as f:
+            self.cfg = IndexConfig.from_json(f.read())
+        self.shape = self.cfg.shape
+        self._cache = TokenMaskCache(self.shape)
+        self._gate_cache = TokenMaskCache(self.cfg.gate_shape)
+        self._manifest: pd.DataFrame | None = None
+        self._prune_state: tuple | None = None
+
+    # ---------------- tables ----------------
+    def storage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "storage"))
+
+    def slotmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "slotmap"))
+
+    def slabs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "slabs"))
+
+    def manifest(self) -> pd.DataFrame:
+        """Driver-resident pruning tree (one row per shard; tiny)."""
+        if self._manifest is None:
+            self._manifest = self.spark.read.parquet(
+                os.path.join(self.path, "manifest")).toPandas()
+        return self._manifest
+
+    # ---------------- metrics (C5-C7, Container.java:38-57) ----------------
+    def value_count(self) -> int:
+        return int(self.manifest()["n_turns"].sum())
+
+    def filter_count(self) -> int:
+        return int(self.manifest()["n_slots"].sum())
+
+    # ---------------- planning ----------------
+    def query_bits(self, tokens) -> np.ndarray:
+        """Dimension tokens -> sorted distinct bit positions (build-side
+        hashing: md5 + enhanced double hashing via TokenMaskCache)."""
+        return self._cache.bit_positions_for(list(tokens))
+
+    def transcript_query_tokens(self, role: str | None = None,
+                                tool: str | None = None,
+                                words: list | None = None) -> list[str]:
+        """Build the tagged token list for a multidimensional membership
+        question like "which shards may contain (role, tool, token)"."""
+        toks = []
+        if role is not None:
+            toks.append(f"role={role}")
+        if tool is not None:
+            toks.append(f"tool={tool}")
+        for w in words or []:
+            toks.append(f"tok={w}")
+        return toks
+
+    def _prune_matrices(self):
+        """Driver-resident pruning tree leaves, stacked once: (shards,
+        summary matrix at container shape, token-gate matrix at gate
+        shape)."""
+        if self._prune_state is None:
+            man = self.manifest()
+            shards = man["shard"].to_numpy()
+            summaries = np.stack(
+                [np.frombuffer(b, dtype=B.U64) for b in man["summary"]])
+            gates = None
+            if "token_gate" in man.columns and man["token_gate"].notna().all():
+                gates = np.stack(
+                    [np.frombuffer(b, dtype=B.U64) for b in man["token_gate"]])
+            self._prune_state = (shards, summaries, gates)
+        return self._prune_state
+
+    def prune_shards(self, qbits: np.ndarray,
+                     tokens=None) -> list[int]:
+        """Shards that can possibly match: the query bits must all be in
+        the shard's OR-summary AND (when tokens are given) every query
+        token must hit the shard's population-sized token gate — the
+        distributed gate short-circuit (`ContainerImpl.java:115,171`)."""
+        shards, summaries, gates = self._prune_matrices()
+        keep = np.ones(len(shards), dtype=bool)
+        if qbits.size:
+            query = B.from_bits(qbits, self.shape.m)
+            keep &= B.contains(summaries, query)
+        if tokens and gates is not None:
+            gq = self._gate_cache.filter_for(list(tokens))
+            keep &= B.contains(gates, gq)
+        return sorted(int(s) for s in shards[keep])
+
+    # ---------------- search ----------------
+    def search_keys(self, tokens) -> DataFrame:
+        """Containment search -> DataFrame (shard, slot, key) of candidate
+        index entries."""
+        qbits = self.query_bits(tokens)
+        shards = self.prune_shards(qbits, tokens)
+        slotmap = self.slotmap()
+        if not shards:
+            return slotmap.where(F.lit(False))
+        if qbits.size == 0:
+            # empty query matches everything (ContainerImpl.java:159-169)
+            return slotmap
+        m = self.shape.m
+        qbits_l = qbits.tolist()
+
+        def scan(iterator):
+            qb = np.asarray(qbits_l, dtype=np.int64)
+            for pdf in iterator:
+                outs = []
+                for _, row in pdf.iterrows():
+                    slab = np.frombuffer(row["slab"], dtype=B.U64) \
+                        .reshape(m, -1)
+                    hits = K.query_slab(slab, qb, int(row["n_slots"]))
+                    if hits.size:
+                        outs.append(pd.DataFrame({
+                            "shard": int(row["shard"]),
+                            "slot": hits + int(row["slot_lo"]),
+                        }))
+                if outs:
+                    yield pd.concat(outs)
+
+        hits_df = (self.slabs()
+                   .where(F.col("shard").isin(shards))
+                   .mapInPandas(scan, schema=HIT_SCHEMA))
+        return hits_df.join(slotmap.where(F.col("shard").isin(shards)),
+                            ["shard", "slot"], "inner")
+
+    def search(self, tokens) -> DataFrame:
+        """Containment search -> storage rows (shard, key, conv_id,
+        turn_idx): values whose filter has all query bits (may include
+        Bloom false positives at the Shape's designed rate)."""
+        keys = self.search_keys(tokens).select("shard", "key")
+        return self.storage().join(keys, ["shard", "key"], "left_semi")
+
+    def search_rows(self, tokens, source_df: DataFrame) -> DataFrame:
+        """Search and join back to the original table on the id columns."""
+        id_cols = list(self.cfg.id_columns)
+        hits = self.search(tokens).select(*id_cols).dropDuplicates(id_cols)
+        return source_df.join(hits, id_cols, "left_semi")
+
+    def search_verified(self, tokens, source_df: DataFrame) -> DataFrame:
+        """Search, then post-verify exact containment of every token in the
+        source row — removes Bloom false positives, giving exact results
+        (the pattern FIXTURES §5 uses for DuckDB-checkable oracles)."""
+        out = self.search_rows(tokens, source_df)
+        cfg = self.cfg
+        for tok in tokens:
+            tag, _, val = tok.partition("=")
+            if tag == "tok":
+                out = out.where(F.array_contains(
+                    F.split(F.col(cfg.text_column), r"\s+"), val))
+            elif tag in cfg.tag_columns:
+                out = out.where(F.col(tag) == val)
+        return out
+
+    # ---------------- exact get ----------------
+    def get(self, tokens) -> DataFrame:
+        """Exact (bit-for-bit) match: content-addressed key equality
+        (`ContainerImpl.java:111-122` via I6 'natural' index semantics)."""
+        filt = self._cache.filter_for(list(tokens))
+        key = B.content_key(filt)
+        qbits = np.flatnonzero(B.unpack(filt, self.shape.m)).astype(np.int64)
+        shards = self.prune_shards(qbits, tokens)
+        if not shards:
+            return self.storage().where(F.lit(False))
+        return self.storage().where(
+            F.col("shard").isin(shards) & (F.col("key") == key))

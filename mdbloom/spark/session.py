@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's required configuration.
+
+Everything here is standard public Spark configuration: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for vectorized
+Python UDF transport, UTC session time zone so DuckDB oracle comparisons
+don't drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "mdbloom", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              ui: bool = False, extra: dict | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    n_local = master[master.find("[") + 1: master.find("]")] if "[" in master else str(cpus)
+    parallelism = cpus if n_local == "*" else int(n_local)
+    shuffle_partitions = shuffle_partitions or max(parallelism, 4)
+    b = (
+        SparkSession.builder.master(master).appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.driver.memory", os.environ.get("MDBLOOM_DRIVER_MEM", "16g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,135 @@
+"""Deterministic synthetic multi-turn transcripts (FIXTURES.md §1).
+
+Schema = BASELINE.json ``input_hint``:
+    conv_id string, turn_idx int32, role string, text string,
+    tool string, ts timestamp
+
+All randomness is *counter-based* (SplitMix64 of (seed, conv_idx, turn_idx,
+field, draw)) — no sequential RNG state — so output is bit-identical for
+any partitioning, parallelism, or execution order. That is what makes the
+per-turn text-equality invariant ("per-row invariant vs the reference:
+per-turn text equality under stable turn ordering") checkable across runs
+and cluster sizes, and what makes the N-vs-4N scaling comparison read the
+exact same input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdbloom.sketches.common import splitmix64
+
+VOCAB_SIZE = 5000
+ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+ROLE_CDF = np.array([0.40, 0.80, 0.85, 1.00])
+TOOLS = np.array(["Bash", "Read", "Write", "Grep", "Edit", "WebSearch",
+                  "none"], dtype=object)
+BASE_TS = np.datetime64("2026-01-01T00:00:00")
+
+SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+
+
+def _u01(key: np.ndarray) -> np.ndarray:
+    """Counter-based uniform [0,1) from int64 keys."""
+    return splitmix64(key.astype(np.uint64)).astype(np.float64) / 2.0**64
+
+
+def _field_key(seed, conv, turn, field, draw=0):
+    old = np.seterr(over="ignore")
+    try:
+        k = (conv.astype(np.uint64) * np.uint64(0x100000)
+             + turn.astype(np.uint64) * np.uint64(0x100)
+             + np.uint64(field) + np.uint64(draw) * np.uint64(0x10000000000))
+        return k ^ splitmix64(np.full(k.shape, seed, dtype=np.uint64))
+    finally:
+        np.seterr(**old)
+
+
+def _gen_for_convs(conv_idx: np.ndarray, seed: int) -> pd.DataFrame:
+    """Generate all turns for a batch of conversation indices (vectorized)."""
+    # conv length in [8, 24] (mean ~16, FIXTURES n_convs = rows/16)
+    lens = (8 + np.floor(_u01(_field_key(seed, conv_idx,
+                                         np.zeros_like(conv_idx), 0)) * 17)
+            ).astype(np.int64)
+    conv_rep = np.repeat(conv_idx, lens)
+    turn = np.concatenate([np.arange(l, dtype=np.int64) for l in lens]) \
+        if len(lens) else np.empty(0, dtype=np.int64)
+
+    # role: weighted categorical
+    u_role = _u01(_field_key(seed, conv_rep, turn, 1))
+    role = ROLES[np.searchsorted(ROLE_CDF, u_role, side="right").clip(0, 3)]
+
+    # tool: null for user/system; else uniform choice
+    u_tool = _u01(_field_key(seed, conv_rep, turn, 2))
+    tool = TOOLS[(u_tool * len(TOOLS)).astype(np.int64).clip(0, len(TOOLS) - 1)]
+    tool = np.where((role == "user") | (role == "system"), None, tool)
+
+    # text: 5..40 tokens, Zipf-ish ranks (u^3 skews mass to low ranks)
+    n_tok = (5 + np.floor(_u01(_field_key(seed, conv_rep, turn, 3)) * 36)
+             ).astype(np.int64)
+    tok_conv = np.repeat(conv_rep, n_tok)
+    tok_turn = np.repeat(turn, n_tok)
+    tok_draw = np.concatenate([np.arange(c, dtype=np.int64) for c in n_tok]) \
+        if len(n_tok) else np.empty(0, dtype=np.int64)
+    u_tok = _u01(_field_key(seed, tok_conv, tok_turn, 4, 0)
+                 ^ splitmix64(tok_draw.astype(np.uint64)))
+    ranks = (VOCAB_SIZE * u_tok ** 3).astype(np.int64).clip(0, VOCAB_SIZE - 1)
+    words = np.char.add("w", np.char.zfill(ranks.astype(str), 5))
+    bounds = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=bounds[1:])
+    joined = np.array(
+        [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(len(n_tok))],
+        dtype=object)
+
+    # ts: base + conv_offset(minutes) + 7s * turn_idx
+    ts = (BASE_TS + (conv_rep * 60).astype("timedelta64[s]")
+          + (turn * 7).astype("timedelta64[s]"))
+
+    return pd.DataFrame({
+        "conv_id": np.char.add("conv", np.char.zfill(conv_rep.astype(str), 8)),
+        "turn_idx": turn.astype(np.int32),
+        "role": role,
+        "text": joined,
+        "tool": tool,
+        "ts": ts,
+    })
+
+
+def synthesize_transcripts(spark: SparkSession, n_turns: int,
+                           seed: int = 42,
+                           n_partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic transcripts: ~``n_turns`` rows across
+    ``n_turns/16`` conversations. Same (seed, n_turns) => bit-identical
+    table regardless of parallelism."""
+    n_convs = max(1, n_turns // 16)
+    n_partitions = n_partitions or max(
+        4, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_convs, numPartitions=n_partitions)
+    seed_ = int(seed)
+
+    def gen(iterator):
+        for pdf in iterator:
+            if len(pdf):
+                yield _gen_for_convs(pdf["id"].to_numpy(), seed_)
+
+    return base.mapInPandas(gen, schema=SCHEMA)
+
+
+def synthesize_transcripts_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side (no Spark) variant for unit tests and oracles —
+    bit-identical to the distributed output."""
+    n_convs = max(1, n_turns // 16)
+    return _gen_for_convs(np.arange(n_convs, dtype=np.int64), seed)
+
+
+def with_shard(df: DataFrame, n_shards: int) -> DataFrame:
+    """Shard assignment: pmod(xxhash64(conv_id), n_shards) — JVM-side,
+    deterministic, keeps every turn of a conversation in one shard
+    (FIXTURES §1 partitioning spec)."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("conv_id")),
+                        F.lit(n_shards)).cast("int"))

@@ -1,0 +1,217 @@
+"""Spark engine end-to-end: deterministic transcripts, index build,
+containment search / exact get vs exact oracles, checkpoint resume.
+
+These are the distributed counterparts of the container tests — the same
+semantics (`ContainerImpl.java:111-182`) expressed over Parquet tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+from mdbloom.spark.query import BloomIndexReader
+from mdbloom.spark.transcripts import (
+    synthesize_transcripts,
+    synthesize_transcripts_pandas,
+)
+
+N_TURNS = 2000
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf():
+    return synthesize_transcripts_pandas(N_TURNS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark):
+    return synthesize_transcripts(spark, N_TURNS, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, transcripts_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "index")
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256)
+    stats = BloomIndexWriter(spark, cfg).build(transcripts_df, path)
+    assert stats["built"] == 8 and stats["rows"] > 0
+    return path
+
+
+# ---------------- transcripts determinism ----------------
+
+def test_transcripts_match_pandas_reference(spark, transcripts_df,
+                                            transcripts_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the BASELINE.json input_hint per-row invariant."""
+    got = (transcripts_df.orderBy("conv_id", "turn_idx")
+           .toPandas().reset_index(drop=True))
+    want = (transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["text"], want["text"])
+    pd.testing.assert_series_equal(got["role"], want["role"])
+    assert got["tool"].fillna("∅").equals(want["tool"].fillna("∅"))
+
+
+def test_transcripts_partitioning_invariant(spark):
+    a = synthesize_transcripts(spark, 500, seed=7, n_partitions=2) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    b = synthesize_transcripts(spark, 500, seed=7, n_partitions=13) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_transcripts_schema_and_ordering(transcripts_pdf):
+    p = transcripts_pdf
+    assert list(p.columns) == ["conv_id", "turn_idx", "role", "text",
+                               "tool", "ts"]
+    # contiguous turn_idx per conversation (stable-ordering invariant)
+    for _, grp in list(p.groupby("conv_id"))[:20]:
+        assert list(grp.sort_values("turn_idx")["turn_idx"]) == \
+            list(range(len(grp)))
+    assert p["tool"][p["role"].isin(["user", "system"])].isna().all()
+
+
+# ---------------- exact oracle helpers ----------------
+
+def exact_matches(pdf: pd.DataFrame, role=None, tool=None, words=()):
+    mask = np.ones(len(pdf), dtype=bool)
+    if role is not None:
+        mask &= (pdf["role"] == role).to_numpy()
+    if tool is not None:
+        mask &= (pdf["tool"] == tool).to_numpy()
+    for w in words:
+        mask &= pdf["text"].str.split().map(lambda t: w in t).to_numpy()
+    return pdf[mask]
+
+
+# ---------------- build & search ----------------
+
+def test_search_verified_equals_exact_oracle(spark, built_index,
+                                             transcripts_df, transcripts_pdf):
+    r = BloomIndexReader(spark, built_index)
+    cases = [
+        dict(role="assistant", tool="Bash", words=["w00000"]),
+        dict(role=None, tool=None, words=["w00042"]),
+        dict(role="user", tool=None, words=["w00007", "w00001"]),
+    ]
+    for c in cases:
+        toks = r.transcript_query_tokens(c["role"], c["tool"], c["words"])
+        got = (r.search_verified(toks, transcripts_df)
+               .select("conv_id", "turn_idx").toPandas()
+               .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+        want = exact_matches(transcripts_pdf, c["role"], c["tool"],
+                             c["words"])[["conv_id", "turn_idx"]] \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want), c
+
+
+def test_search_superset_of_exact_and_fpr_bounded(spark, built_index,
+                                                  transcripts_df,
+                                                  transcripts_pdf):
+    """Unverified search = exact matches + Bloom false positives at a rate
+    bounded by the Shape."""
+    r = BloomIndexReader(spark, built_index)
+    toks = r.transcript_query_tokens("assistant", None, ["w00003"])
+    got = set(map(tuple, r.search(toks).select("conv_id", "turn_idx")
+                  .toPandas().itertuples(index=False)))
+    want = set(map(tuple, exact_matches(
+        transcripts_pdf, "assistant", None,
+        ["w00003"])[["conv_id", "turn_idx"]].itertuples(index=False)))
+    assert want <= got, "containment search must never miss a true match"
+    fp = len(got - want)
+    # generous bound: designed p times corpus size, 3x slack + 5
+    assert fp <= 3 * r.shape.probability * N_TURNS + 5
+
+
+def test_empty_query_matches_everything(spark, built_index):
+    r = BloomIndexReader(spark, built_index)
+    assert r.search([]).count() == N_TURNS or \
+        r.search([]).count() == r.value_count()
+
+
+def test_exact_get_roundtrip(spark, built_index, transcripts_df,
+                             transcripts_pdf):
+    """get returns exactly the rows whose full token set matches the query
+    filter bit-for-bit (same dims -> same content key)."""
+    r = BloomIndexReader(spark, built_index)
+    row = transcripts_pdf.iloc[17]
+    toks = r.transcript_query_tokens(
+        row["role"], None if pd.isna(row["tool"]) or row["tool"] == "none"
+        else row["tool"], row["text"].split())
+    got = r.get(toks).select("conv_id", "turn_idx").toPandas()
+    assert (row["conv_id"], row["turn_idx"]) in set(
+        map(tuple, got.itertuples(index=False)))
+    # a subset of dimensions must NOT exact-match this record's filter
+    sub = r.get(toks[:1])
+    full_keyset = set(got["conv_id"])
+    # subset query has its own (different) key; it may match other rows but
+    # not via this record's filter — verify keys differ
+    from mdbloom import bits as B
+    assert B.content_key(r._cache.filter_for(toks)) != \
+        B.content_key(r._cache.filter_for(toks[:1]))
+
+
+def test_counts(spark, built_index, transcripts_pdf):
+    r = BloomIndexReader(spark, built_index)
+    assert r.value_count() == len(transcripts_pdf)
+    assert r.storage().count() == len(transcripts_pdf)
+    assert r.filter_count() == r.slotmap().count()
+    assert r.filter_count() <= len(transcripts_pdf)
+
+
+def test_pruning_skips_shards(spark, built_index):
+    r = BloomIndexReader(spark, built_index)
+    # a rare token pair should prune at least some shards via the token gate
+    toks = r.transcript_query_tokens(None, None, ["w04999", "w04998"])
+    shards = r.prune_shards(r.query_bits(toks), toks)
+    assert len(shards) <= 8
+    # nonsense tokens prune everything with overwhelming probability
+    toks2 = [f"tok=zz{i}" for i in range(8)]
+    assert len(r.prune_shards(r.query_bits(toks2), toks2)) == 0
+    # and a pruned-to-zero query returns an empty result end-to-end
+    assert r.search(toks2).count() == 0
+
+
+# ---------------- resume / lineage ----------------
+
+def test_resume_skips_unchanged_shards(spark, transcripts_df, tmp_path):
+    path = str(tmp_path / "idx")
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256)
+    w = BloomIndexWriter(spark, cfg)
+    s1 = w.build(transcripts_df, path)
+    assert s1["built"] == 8
+    s2 = w.build(transcripts_df, path, resume=True)
+    assert s2["built"] == 0 and s2["skipped"] == 8
+
+
+def test_resume_rebuilds_only_changed_shards_and_matches_full(spark, tmp_path):
+    from mdbloom.spark.transcripts import synthesize_transcripts
+    base = synthesize_transcripts(spark, 800, seed=42)
+    extra = synthesize_transcripts(spark, 400, seed=99).withColumn(
+        "conv_id", __import__("pyspark").sql.functions.concat(
+            __import__("pyspark").sql.functions.lit("x"), "conv_id"))
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256)
+
+    inc_path = str(tmp_path / "inc")
+    w = BloomIndexWriter(spark, cfg)
+    w.build(base, inc_path)
+    s = w.build(base.unionByName(extra), inc_path, resume=True)
+    assert 0 < s["built"] <= 8
+    # full rebuild oracle
+    full_path = str(tmp_path / "full")
+    w.build(base.unionByName(extra), full_path)
+
+    ri, rf = (BloomIndexReader(spark, p) for p in (inc_path, full_path))
+    assert ri.value_count() == rf.value_count()
+    assert ri.filter_count() == rf.filter_count()
+    toks = ri.transcript_query_tokens("assistant", None, ["w00001"])
+    a = set(map(tuple, ri.search(toks).select("conv_id", "turn_idx")
+                .toPandas().itertuples(index=False)))
+    b = set(map(tuple, rf.search(toks).select("conv_id", "turn_idx")
+                .toPandas().itertuples(index=False)))
+    assert a == b
