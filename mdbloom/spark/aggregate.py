@@ -1,0 +1,129 @@
+"""Mergeable-sketch aggregation over DataFrames (the UDAF surface).
+
+Pattern (SURVEY §2.6 "aggregations"): Arrow-vectorized *partial* states per
+partition (``mapInPandas`` — map-side combine, nothing but small binary
+states cross the wire), then an associative log-depth *tree merge*. Because
+every sketch's merge is associative and order-independent (tested in
+tests/test_sketches.py), the result is independent of partitioning — the
+distributed-correctness property the reference gets for free by being
+single-threaded (`ContainerImpl.java` has no concurrency at all, SURVEY
+§3.4).
+
+Two surfaces:
+  * ``sketch_all``    — whole-DataFrame sketch -> one state (driver object)
+  * ``sketch_by_key`` — per-group sketch states + estimates as a DataFrame
+    (``groupBy(...).applyInPandas``)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partials_df(df: DataFrame, col: str, factory: Callable) -> DataFrame:
+    """One binary sketch state per input partition (map-side combine)."""
+    def partial(iterator):
+        sk = factory()
+        seen = False
+        for pdf in iterator:
+            if len(pdf):
+                sk.update(pdf[col].dropna().to_numpy())
+                seen = True
+        if seen:
+            yield pd.DataFrame({"state": [sk.to_bytes()]})
+
+    return df.select(col).mapInPandas(partial, schema="state binary")
+
+
+def tree_merge(states: list[bytes], from_bytes: Callable):
+    """Log-depth pairwise merge (the treeAggregate combine pattern,
+    reference analogue: multi-way OR trees `FastAggregation.java:287-311`).
+    Deterministic for any fixed input order; order-independence itself is
+    guaranteed by each sketch's merge laws."""
+    if not states:
+        return None
+    layer = [from_bytes(s) for s in states]
+    while len(layer) > 1:
+        nxt = []
+        for i in range(0, len(layer), 2):
+            if i + 1 < len(layer):
+                nxt.append(layer[i].merge(layer[i + 1]))
+            else:
+                nxt.append(layer[i])
+        layer = nxt
+    return layer[0]
+
+
+def sketch_all(df: DataFrame, col: str, factory: Callable,
+               from_bytes: Callable):
+    """Sketch one column of the whole DataFrame. Returns the merged sketch
+    object (small driver-side state; the heavy work ran on executors)."""
+    states = [r.state for r in _partials_df(df, col, factory).collect()]
+    merged = tree_merge(states, from_bytes)
+    return merged if merged is not None else factory()
+
+
+def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
+                  factory: Callable,
+                  estimate: Callable | None = None) -> DataFrame:
+    """Per-group sketch: (key..., state binary[, estimate double]).
+
+    One shuffle on the group keys; state building is vectorized per group.
+    For skewed keys enable AQE skew handling (on by default in
+    mdbloom.spark.session)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"`{k}` {types[k]}" for k in key_cols] + ["state binary"]
+        + (["estimate double"] if estimate else []))
+
+    def per_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory().update(pdf[col].dropna().to_numpy())
+        row = dict(zip(key_cols, keys))
+        row["state"] = sk.to_bytes()
+        if estimate:
+            row["estimate"] = float(estimate(sk))
+        return pd.DataFrame([row])
+
+    return df.groupBy(*key_cols).applyInPandas(per_group, schema=out_schema)
+
+
+# ---------------- convenience estimators ----------------
+
+def hll_distinct(df: DataFrame, col: str, p: int = 14) -> float:
+    from mdbloom.sketches import HllSketch
+    sk = sketch_all(df, col, lambda: HllSketch(p), HllSketch.from_bytes)
+    return sk.estimate()
+
+
+def cms_frequencies(df: DataFrame, col: str, probes,
+                    eps: float = 1e-4, delta: float = 1e-3) -> np.ndarray:
+    from mdbloom.sketches import CountMinSketch
+    sk = sketch_all(df, col, lambda: CountMinSketch(eps, delta),
+                    CountMinSketch.from_bytes)
+    return sk.query(np.asarray(probes, dtype=object))
+
+
+def kll_quantiles(df: DataFrame, col: str, qs, k: int = 200) -> np.ndarray:
+    from mdbloom.sketches import KllSketch
+    sk = sketch_all(df, col, lambda: KllSketch(k), KllSketch.from_bytes)
+    return sk.quantile(np.asarray(qs, dtype=np.float64))
+
+
+def tdigest_quantiles(df: DataFrame, col: str, qs,
+                      delta: float = 200.0) -> np.ndarray:
+    from mdbloom.sketches import TDigest
+    sk = sketch_all(df, col, lambda: TDigest(delta), TDigest.from_bytes)
+    return sk.quantile(np.asarray(qs, dtype=np.float64))
+
+
+def bloom_of(df: DataFrame, col: str, n: int, p: float):
+    from mdbloom.shape import Shape
+    from mdbloom.sketches import BloomSketch
+    shape = Shape.from_np(n, p)
+    return sketch_all(df, col, lambda: BloomSketch(shape),
+                      BloomSketch.from_bytes)

@@ -48,8 +48,12 @@ from mdbloom import kernel as K
 from mdbloom.hashing import TokenMaskCache
 from mdbloom.shape import Shape
 
-FILTER_SCHEMA = ("shard int, key string, conv_id string, turn_idx int, "
-                 "filter binary")
+def _filter_schema(df, id_columns) -> str:
+    """Output schema of the hash pass: shard, key, <id columns with their
+    source types>, filter."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    ids = ", ".join(f"`{c}` {types[c]}" for c in id_columns)
+    return f"shard int, key string, {ids}, filter binary"
 SLAB_SCHEMA = ("shard int, chunk int, slot_lo long, n_slots int, "
                "slab binary, build_ms double")
 MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
@@ -184,22 +188,25 @@ class BloomIndexWriter:
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
 
-        id0, id1 = cfg.id_columns
+        id_cols = list(cfg.id_columns)
 
         def hash_batches(iterator):
             for pdf in iterator:
                 if not len(pdf):
                     continue
                 packed = filters_for_batch(pdf, cfg).astype(B.U64)
-                yield pd.DataFrame({
+                out = {
                     "shard": pdf["shard"].to_numpy(),
                     "key": B.content_keys(packed),
-                    "conv_id": pdf[id0].to_numpy(),
-                    "turn_idx": pdf[id1].to_numpy(),
-                    "filter": [packed[i].tobytes() for i in range(len(pdf))],
-                })
+                }
+                for c in id_cols:
+                    out[c] = pdf[c].to_numpy()
+                out["filter"] = [packed[i].tobytes()
+                                 for i in range(len(pdf))]
+                yield pd.DataFrame(out)
 
-        return sharded.mapInPandas(hash_batches, schema=FILTER_SCHEMA)
+        return sharded.mapInPandas(hash_batches,
+                                   schema=_filter_schema(df, id_cols))
 
     # ---------------- token gate ----------------
     def token_gate_df(self, df: DataFrame) -> DataFrame:
@@ -358,7 +365,7 @@ class BloomIndexWriter:
         try:
             n_rows = filters.count()  # materialize once; reused below
 
-            (filters.select("shard", "key", "conv_id", "turn_idx")
+            (filters.select("shard", "key", *cfg.id_columns)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "storage")))
 

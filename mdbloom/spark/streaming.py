@@ -1,0 +1,74 @@
+"""Structured Streaming surface for mergeable sketches.
+
+The reference has no streaming at all (SURVEY §2.6); this is the engine's
+forward-looking surface: because every sketch state is small, mergeable and
+order-independent, a stream reduces to *per-microbatch partials merged into
+a running state* — exactly the ``foreachBatch`` accumulation pattern. The
+running state is checkpointable by writing its bytes alongside Spark's own
+streaming checkpoint.
+
+Also provided: windowed streaming counts with watermarked late-data
+handling, built purely from Spark primitives (the declarative path).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mdbloom.spark.aggregate import sketch_all
+
+
+class StreamingSketch:
+    """Running mergeable sketch over a streaming DataFrame.
+
+    Usage::
+
+        acc = StreamingSketch(lambda: HllSketch(14), HllSketch.from_bytes,
+                              col="user_id")
+        q = acc.start(stream_df)        # foreachBatch accumulation
+        ...
+        acc.sketch.estimate()
+
+    Exactly-once note: merges are idempotent for Bloom/HLL (OR/max), so
+    microbatch replays are harmless there; for CMS/KLL/t-digest a replayed
+    batch double-counts — production use should persist (batch_id, state)
+    and skip seen ids, which is the standard foreachBatch idempotency
+    recipe. Kept minimal here.
+    """
+
+    def __init__(self, factory: Callable, from_bytes: Callable, col: str):
+        self.factory = factory
+        self.from_bytes = from_bytes
+        self.col = col
+        self.sketch = factory()
+        self.batches_seen = 0
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int):
+        part = sketch_all(batch_df, self.col, self.factory, self.from_bytes)
+        self.sketch.merge(part)
+        self.batches_seen += 1
+
+    def start(self, stream_df: DataFrame, trigger_once: bool = True):
+        writer = stream_df.writeStream.foreachBatch(self._on_batch) \
+            .outputMode("update")
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
+                    window: str = "5 minutes", slide: str | None = None,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling/sliding window counts — the declarative
+    streaming aggregation path (late rows beyond the watermark dropped)."""
+    # event-time must be TIMESTAMP (not NTZ) for watermarking
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = F.window(F.col(ts_col), window, slide) if slide \
+        else F.window(F.col(ts_col), window)
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(w, F.col(key_col))
+            .agg(F.count("*").alias("n")))

@@ -1,0 +1,95 @@
+"""Spark sketch-aggregation surface vs exact Spark oracles, plus
+partitioning-invariance of the distributed merges."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mdbloom.sketches import CountMinSketch, HllSketch, KllSketch, TDigest
+from mdbloom.spark.aggregate import (
+    bloom_of,
+    cms_frequencies,
+    hll_distinct,
+    kll_quantiles,
+    sketch_all,
+    sketch_by_key,
+    tdigest_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet").cache()
+
+
+def test_hll_matches_exact_distinct(spark, events):
+    est = hll_distinct(events, "user_id", p=14)
+    true = events.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(est - true) / true <= 3 * 1.04 / np.sqrt(2 ** 14)
+
+
+def test_hll_partitioning_invariant(spark, events):
+    a = hll_distinct(events.repartition(3), "user_id")
+    b = hll_distinct(events.repartition(17), "user_id")
+    assert a == b  # max-merge registers are partitioning-independent
+
+
+def test_cms_never_underestimates(spark, events):
+    true = {r.event_type: r.c for r in
+            events.groupBy("event_type").agg(F.count("*").alias("c"))
+            .collect()}
+    probes = sorted(true)
+    est = cms_frequencies(events, "event_type", probes, eps=1e-4)
+    n = sum(true.values())
+    for p_, e in zip(probes, est):
+        assert true[p_] <= e <= true[p_] + 1e-4 * n * 3 + 1
+
+
+def test_kll_quantiles_close_to_exact(spark, events):
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = kll_quantiles(events, "value", qs)
+    exact = events.selectExpr(
+        *[f"percentile(value, {q}) as q{i}" for i, q in enumerate(qs)]
+    ).collect()[0]
+    vals = events.select("value").toPandas()["value"].to_numpy()
+    n = len(vals)
+    for q, e in zip(qs, est):
+        rank = (vals <= e).mean()
+        assert abs(rank - q) <= 3 * 0.7 / 200 + 2e-3
+
+
+def test_tdigest_quantiles_close_to_exact(spark, events):
+    qs = [0.001, 0.5, 0.999]
+    est = tdigest_quantiles(events, "value", qs)
+    vals = events.select("value").toPandas()["value"].to_numpy()
+    for q, e in zip(qs, est):
+        rank = (vals <= e).mean()
+        assert abs(rank - q) <= max(1e-2, 0.2 * min(q, 1 - q))
+
+
+def test_bloom_of_membership(spark, events):
+    sk = bloom_of(events, "event_type", n=100, p=1e-3)
+    types = [r.event_type for r in events.select("event_type")
+             .distinct().collect()]
+    assert sk.contains(np.array(types, dtype=object)).all()
+    absent = np.array([f"nope{i}" for i in range(1000)], dtype=object)
+    assert sk.contains(absent).mean() <= 0.01
+
+
+def test_sketch_by_key_states_merge_to_global(spark, events):
+    per_key = sketch_by_key(events, ["event_type"], "user_id",
+                            lambda: HllSketch(12),
+                            estimate=lambda s: s.estimate()).collect()
+    # per-group estimates match exact per-group distincts
+    true = {r.event_type: r.d for r in
+            events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    merged = HllSketch(12)
+    for row in per_key:
+        est, t = row.estimate, true[row.event_type]
+        assert abs(est - t) / t <= 3 * 1.04 / np.sqrt(2 ** 12)
+        merged.merge(HllSketch.from_bytes(bytes(row.state)))
+    # merging group states == sketching the whole table (byte-identical)
+    whole = sketch_all(events, "user_id", lambda: HllSketch(12),
+                       HllSketch.from_bytes)
+    assert merged.to_bytes() == whole.to_bytes()

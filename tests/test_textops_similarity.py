@@ -1,0 +1,214 @@
+"""Text-pipeline and embedding-similarity operators vs exact oracles
+computed in pandas/NumPy on the driver (sf0.001 test tables)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mdbloom.spark import similarity as S
+from mdbloom.spark import textops as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+# ---------------- token stats / fingerprint / exact dedup ----------------
+
+def test_token_stats_matches_pandas(docs, docs_pdf):
+    got = T.token_stats(docs).toPandas().set_index("doc_id").sort_index()
+    want_tokens = docs_pdf.set_index("doc_id")["text"].str.split().str.len()
+    assert (got["n_tokens"] == want_tokens.sort_index()).all()
+    assert (got["n_chars"] ==
+            docs_pdf.set_index("doc_id")["text"].str.len().sort_index()).all()
+
+
+def test_exact_dup_groups_matches_pandas(docs, docs_pdf):
+    got = T.exact_dup_groups(docs).toPandas()
+    norm = docs_pdf["text"].str.strip().str.replace(r"\s+", " ", regex=True)
+    vc = norm.value_counts()
+    dups = vc[vc > 1]
+    assert got["n_dups"].sum() == int(dups.sum())
+    assert len(got) == len(dups)
+
+
+def test_dedup_exact_keeps_one_per_text(docs, docs_pdf):
+    kept = T.dedup_exact(docs).toPandas()
+    norm = kept["text"].str.strip().str.replace(r"\s+", " ", regex=True)
+    assert norm.is_unique
+    assert len(kept) == docs_pdf["text"].str.strip() \
+        .str.replace(r"\s+", " ", regex=True).nunique()
+
+
+def test_lang_quality_scores(docs, docs_pdf):
+    got = T.lang_quality(docs).toPandas()
+    assert set(got.columns) >= {"doc_id", "score_en", "quality"}
+    assert got["quality"].between(0, 1).all()
+    # hand-check one row
+    row = docs_pdf.iloc[0]
+    words = set(row["text"].split())
+    want_en = len(words & set(T.STOPWORDS["en"])) / len(T.STOPWORDS["en"])
+    got_en = float(got.set_index("doc_id").loc[row["doc_id"], "score_en"])
+    assert got_en == pytest.approx(want_en)
+
+
+# ---------------- n-gram jaccard (exact) ----------------
+
+def exact_jaccard_pairs(pdf, n=3, threshold=0.5):
+    sh = {r.doc_id: {" ".join(r.text.split()[i:i + n])
+                     for i in range(len(r.text.split()) - n + 1)}
+          for r in pdf.itertuples() if len(r.text.split()) >= n}
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            inter = len(sh[a] & sh[b_])
+            if inter:
+                j = inter / len(sh[a] | sh[b_])
+                if j >= threshold:
+                    out[(a, b_)] = j
+    return out
+
+
+def test_ngram_jaccard_exact_parity(docs, docs_pdf):
+    got = T.ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    want = exact_jaccard_pairs(docs_pdf, 3, 0.5)
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k])
+
+
+def test_minhash_near_dups_subset_of_exact_with_recall(docs, docs_pdf):
+    got = T.minhash_near_dups(docs, num_perm=64, bands=16, n=3,
+                              threshold=0.5).toPandas()
+    want = exact_jaccard_pairs(docs_pdf, 3, 0.5)
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    # precision 1.0 (exact verify) ...
+    assert got_pairs <= set(want)
+    # ... and high recall at jaccard >= 0.5 with b=16, r=4:
+    # P(candidate) = 1-(1-s^4)^16 >= 0.64 at s=0.5, ~1 at s>=0.7
+    strong = {k for k, v in want.items() if v >= 0.7}
+    if strong:
+        assert len(got_pairs & strong) / len(strong) >= 0.9
+
+
+def test_simhash_near_dups_exact_hamming(docs, spark):
+    sim = T.simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+    got = T.simhash_near_dups(docs, max_hamming=3).toPandas()
+    # verify every reported pair's hamming on driver
+    for r in got.itertuples():
+        x = np.uint64(sim[r.id_a]) ^ np.uint64(sim[r.id_b])
+        assert bin(int(x)).count("1") == r.hamming <= 3
+    # pigeonhole banding loses nothing: compute exact pairs on driver
+    vals = sim.to_numpy().astype(np.uint64)
+    ids = sim.index.to_numpy()
+    xor = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor >>= np.uint64(1)
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert got_pairs == want
+
+
+# ---------------- embeddings ----------------
+
+def test_cosine_topk_matches_numpy(emb, emb_pdf):
+    mat = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    probe = mat[0]
+    cos = (mat @ probe) / (np.linalg.norm(mat, axis=1)
+                           * np.linalg.norm(probe))
+    order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -cos))
+    want = emb_pdf["vec_id"].to_numpy()[order][:10].tolist()
+    got = S.cosine_topk(emb, probe, k=10).toPandas()["vec_id"].tolist()
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def emb_planted(spark, emb_pdf):
+    """Embeddings plus 20 jittered near-copies (cosine >= ~0.99 to their
+    source) — the workload where bucketed ANN is meaningful. Near-random
+    vectors have no true near neighbours (measured: top cosine ~0.33), so
+    recall there is a property of the data, not the index."""
+    rng = np.random.default_rng(5)
+    base = emb_pdf.copy()
+    picks = base.iloc[:20]
+    mat = np.stack(picks["embedding"].to_numpy()).astype(np.float32)
+    jitter = mat + rng.normal(0, 0.01, mat.shape).astype(np.float32)
+    import pandas as pd
+    extra = pd.DataFrame({
+        "vec_id": picks["vec_id"].to_numpy() + 100_000,
+        "embedding": list(jitter),
+        "label": picks["label"].to_numpy(),
+    })
+    pdf = pd.concat([base, extra], ignore_index=True)
+    sp = spark.createDataFrame(pdf)
+    return sp.cache(), pdf
+
+
+def test_ann_lsh_finds_planted_neighbors(emb_planted):
+    sp, pdf = emb_planted
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    found = 0
+    for i in range(8):  # probe with 8 planted copies
+        probe_id = int(pdf["vec_id"].iloc[len(pdf) - 20 + i])
+        src_id = probe_id - 100_000
+        probe = mat[len(pdf) - 20 + i]
+        got = S.ann_lsh_topk(sp, probe, k=3, nbits=10, n_tables=4,
+                             multiprobe=1).toPandas()["vec_id"].tolist()
+        if src_id in got:
+            found += 1
+    assert found >= 7, f"planted near-dup recall {found}/8"
+
+
+def test_ann_lsh_matches_brute_force_scores(emb, emb_pdf):
+    """Whatever ANN returns must carry exact cosine scores and be a subset
+    of the corpus."""
+    mat = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    probe = mat[7]
+    approx = S.ann_lsh_topk(emb, probe, k=10, nbits=10, n_tables=4) \
+        .toPandas()
+    all_scores = S.cosine_scores(emb, probe).toPandas() \
+        .set_index("vec_id")["cosine"]
+    for r in approx.itertuples():
+        assert r.cosine == pytest.approx(float(all_scores[r.vec_id]),
+                                         abs=1e-9)
+
+
+def test_cosine_near_dup_pairs_finds_planted(emb_planted):
+    sp, pdf = emb_planted
+    got = S.cosine_near_dup_pairs(sp, threshold=0.95, nbits=8).toPandas()
+    got_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+                 for r in got.itertuples()}
+    want = {(int(v), int(v) + 100_000) for v in pdf["vec_id"].iloc[:20]}
+    # high recall on planted pairs; precision verified exactly below
+    assert len(got_pairs & want) / len(want) >= 0.9
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    idx = {v: i for i, v in enumerate(pdf["vec_id"])}
+    for r in got.itertuples():
+        a, b_ = mat[idx[r.id_a]], mat[idx[r.id_b]]
+        cos = float(a @ b_ / (np.linalg.norm(a) * np.linalg.norm(b_)))
+        assert cos >= 0.95 - 1e-9
+        assert r.cosine == pytest.approx(cos, abs=1e-6)
