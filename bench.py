@@ -1,0 +1,140 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   plus derived throughputs (turns/sec build, queries/sec search, observed
+   vs predicted FPR) as extra fields}.
+
+The north-rule metric (turns/sec Bloom build + membership-query throughput
++ FPR) is measured on deterministic synthetic transcripts sized by sf;
+the N-vs-4N scaling-efficiency evidence lives in scripts/scaling_bench.py
+(writes BENCH.md) because it needs two Spark sessions at different
+parallelism on identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main():
+    sf = sf_of(SF_DIR)
+    n_turns = int(os.environ.get("MDBLOOM_BENCH_TURNS",
+                                 max(20_000, int(2_000_000 * sf))))
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+    from mdbloom.spark.session import get_spark
+    from mdbloom.spark.transcripts import synthesize_transcripts
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    times: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # ---- Bloom index build over transcripts (north-rule headline)
+    idx_path = f"/tmp/mdbloom_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3,
+                      n_shards=max(CPUS * 2, 8), chunk_slots=65536)
+    tdf = synthesize_transcripts(spark, n_turns, seed=42)
+
+    def build():
+        return BloomIndexWriter(spark, cfg).build(tdf, idx_path)
+
+    stats = timed("bloom_build", build)
+    extra["build_rows"] = stats["rows"]
+    extra["turns_per_sec_build"] = round(stats["rows"]
+                                         / times["bloom_build"], 1)
+
+    # ---- membership query throughput + observed FPR
+    reader = BloomIndexReader(spark, idx_path)
+    rng = np.random.default_rng(7)
+    probes = []
+    for i in range(12):
+        w = f"w{int(5000 * rng.random() ** 3):05d}"
+        role = ["user", "assistant", None][i % 3]
+        tool = ["Bash", None][i % 2]
+        probes.append(reader.transcript_query_tokens(role, tool, [w]))
+    absent = [[f"tok=absent{i}x"] for i in range(8)]
+
+    def search_all():
+        n = 0
+        for toks in probes + absent:
+            n += reader.search(toks).count()
+        return n
+
+    raw_hits = timed("bloom_search", search_all)
+    extra["queries_per_sec_search"] = round(
+        (len(probes) + len(absent)) / times["bloom_search"], 2)
+
+    def verified_two():
+        n = 0
+        for toks in probes[:2]:
+            n += reader.search_verified(toks, tdf).count()
+        return n
+
+    timed("bloom_search_verified", verified_two)
+
+    # observed FPR: known-absent probes should hit ~0 rows
+    def fpr():
+        fp_rows = sum(reader.search(t).count() for t in absent)
+        return fp_rows
+
+    fp_rows = timed("bloom_fpr_probe", fpr)
+    extra["fpr_observed_rows"] = int(fp_rows)
+    extra["fpr_observed"] = round(fp_rows / max(stats["rows"], 1) / 8, 8)
+    extra["fpr_predicted"] = reader.shape.probability
+
+    # ---- analytic / pipeline headliners from the driver tables
+    for name in ["q01_pricing_summary", "q02_top_revenue_orders",
+                 "q03_events_by_type", "q05_sessionize",
+                 "q07_dedup_exact", "q09_token_stats",
+                 "q11_ngram_jaccard", "q12_cosine_topk",
+                 "q16_minhash_near_dups", "q18_hll_distinct",
+                 "q20_kll_quantiles"]:
+        fn = E.queries()[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "mdbloom headline suite wall time (build+query+analytics)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "n_turns": n_turns,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
