@@ -60,10 +60,17 @@ def main():
 
     # ---- Bloom index build over transcripts (north-rule headline)
     idx_path = f"/tmp/mdbloom_bench_idx_{os.getpid()}"
+    src_path = f"/tmp/mdbloom_bench_src_{os.getpid()}"
     shutil.rmtree(idx_path, ignore_errors=True)
     cfg = IndexConfig(n_per_record=40, probability=1e-3,
                       n_shards=max(CPUS * 2, 8), chunk_slots=65536)
-    tdf = synthesize_transcripts(spark, n_turns, seed=42)
+    # materialize the input table once (the engine's contract input is an
+    # Iceberg-shaped stored table, not a generator) — synth time reported
+    # separately, build measured from storage like production
+    timed("synthesize_input",
+          lambda: synthesize_transcripts(spark, n_turns, seed=42)
+          .write.mode("overwrite").parquet(src_path))
+    tdf = spark.read.parquet(src_path)
 
     def build():
         return BloomIndexWriter(spark, cfg).build(tdf, idx_path)
@@ -84,15 +91,20 @@ def main():
         probes.append(reader.transcript_query_tokens(role, tool, [w]))
     absent = [[f"tok=absent{i}x"] for i in range(8)]
 
-    def search_all():
-        n = 0
-        for toks in probes + absent:
-            n += reader.search(toks).count()
-        return n
+    all_queries = {f"q{i}": toks for i, toks in enumerate(probes + absent)}
 
-    raw_hits = timed("bloom_search", search_all)
+    def search_batched():
+        out = reader.search_many(all_queries)
+        return out.groupBy("query").count().count()
+
+    timed("bloom_search", search_batched)
     extra["queries_per_sec_search"] = round(
-        (len(probes) + len(absent)) / times["bloom_search"], 2)
+        len(all_queries) / times["bloom_search"], 2)
+
+    def search_single():  # per-query job-chain latency, for contrast
+        return reader.search(probes[0]).count()
+
+    timed("bloom_search_single", search_single)
 
     def verified_two():
         n = 0
@@ -102,10 +114,10 @@ def main():
 
     timed("bloom_search_verified", verified_two)
 
-    # observed FPR: known-absent probes should hit ~0 rows
+    # observed FPR: known-absent probes should hit ~0 rows (batched)
     def fpr():
-        fp_rows = sum(reader.search(t).count() for t in absent)
-        return fp_rows
+        return reader.search_many(
+            {f"a{i}": t for i, t in enumerate(absent)}).count()
 
     fp_rows = timed("bloom_fpr_probe", fpr)
     extra["fpr_observed_rows"] = int(fp_rows)
@@ -123,6 +135,7 @@ def main():
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
 
     shutil.rmtree(idx_path, ignore_errors=True)
+    shutil.rmtree(src_path, ignore_errors=True)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "mdbloom headline suite wall time (build+query+analytics)",

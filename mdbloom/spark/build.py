@@ -242,11 +242,17 @@ class BloomIndexWriter:
                   .dropDuplicates(["shard", "token"]))
 
         def build_gate(pdf: pd.DataFrame) -> pd.DataFrame:
+            # set bit positions directly — NEVER materialize per-token
+            # masks at gate width (k positions/token vs m/64 words/token)
+            from mdbloom.hashing import (hash_unique_tokens,
+                                         km_positions_matrix)
             shard = int(pdf["shard"].iloc[0])
-            cache = _mask_cache(gate_shape)
-            masks = cache.masks_for(pdf["token"].to_numpy(dtype=object))
-            gate = np.bitwise_or.reduce(masks, axis=0) if len(masks) \
-                else B.zeros(gate_shape.m)
+            gate = B.zeros(gate_shape.m)
+            toks = pdf["token"].to_numpy(dtype=object)
+            if len(toks):
+                h1s, h2s = hash_unique_tokens(toks)
+                pos = km_positions_matrix(h1s, h2s, gate_shape)
+                B.set_bits(gate, np.unique(pos.ravel()))
             return pd.DataFrame([{"shard": shard,
                                   "token_gate": B.to_bytes(gate),
                                   "n_tokens": len(pdf)}])

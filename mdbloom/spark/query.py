@@ -166,6 +166,68 @@ class BloomIndexReader:
         return hits_df.join(slotmap.where(F.col("shard").isin(shards)),
                             ["shard", "slot"], "inner")
 
+    def search_keys_many(self, queries: dict) -> DataFrame:
+        """Batched containment search: ``{name: [tokens...]}`` -> one slab
+        scan emitting (query, shard, slot, key) for every query at once.
+
+        This is the throughput shape for membership workloads: Q queries
+        share one Spark job (one slab read, one slotmap join) instead of Q
+        job chains — per-query latency amortizes to ~zero. Per-query shard
+        pruning still applies inside the scan via a broadcast plan."""
+        plans = {}
+        all_shards: set[int] = set()
+        for name, toks in queries.items():
+            qbits = self.query_bits(toks)
+            shards = self.prune_shards(qbits, toks)
+            if qbits.size == 0 or not shards:
+                continue  # empty-query / fully-pruned handled by caller
+            plans[name] = (qbits.tolist(), set(shards))
+            all_shards.update(shards)
+        slotmap = self.slotmap()
+        if not plans:
+            return (slotmap.where(F.lit(False))
+                    .withColumn("query", F.lit(""))
+                    .select("query", "shard", "slot", "key"))
+        m = self.shape.m
+        plans_l = {k: (v[0], sorted(v[1])) for k, v in plans.items()}
+
+        def scan(iterator):
+            for pdf in iterator:
+                outs = []
+                for _, row in pdf.iterrows():
+                    shard = int(row["shard"])
+                    slab = None
+                    for name, (qb, shards) in plans_l.items():
+                        if shard not in shards:
+                            continue
+                        if slab is None:
+                            slab = np.frombuffer(row["slab"], dtype=B.U64) \
+                                .reshape(m, -1)
+                        hits = K.query_slab(slab,
+                                            np.asarray(qb, dtype=np.int64),
+                                            int(row["n_slots"]))
+                        if hits.size:
+                            outs.append(pd.DataFrame({
+                                "query": name,
+                                "shard": shard,
+                                "slot": hits + int(row["slot_lo"]),
+                            }))
+                if outs:
+                    yield pd.concat(outs)
+
+        hits_df = (self.slabs()
+                   .where(F.col("shard").isin(sorted(all_shards)))
+                   .mapInPandas(scan,
+                                schema="query string, shard int, slot long"))
+        return hits_df.join(
+            slotmap.where(F.col("shard").isin(sorted(all_shards))),
+            ["shard", "slot"], "inner")
+
+    def search_many(self, queries: dict) -> DataFrame:
+        """Batched search -> storage rows tagged by query name."""
+        keys = self.search_keys_many(queries).select("query", "shard", "key")
+        return self.storage().join(keys, ["shard", "key"], "inner")
+
     def search(self, tokens) -> DataFrame:
         """Containment search -> storage rows (shard, key, conv_id,
         turn_idx): values whose filter has all query bits (may include

@@ -35,28 +35,33 @@ cores = int(sys.argv[1]); n_turns = int(sys.argv[2])
 spark = get_spark(f"scale{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores)
 idx = f"/tmp/mdbloom_scale_{cores}"
+src = "/tmp/mdbloom_scale_src"  # shared: identical input bytes for N and 4N
 shutil.rmtree(idx, ignore_errors=True)
 cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=64,
                   chunk_slots=65536)
-tdf = synthesize_transcripts(spark, n_turns, seed=42)
+import os
+if not os.path.exists(src + "/_SUCCESS"):
+    synthesize_transcripts(spark, n_turns, seed=42) \
+        .write.mode("overwrite").parquet(src)
+tdf = spark.read.parquet(src)
 
 t0 = time.monotonic()
 stats = BloomIndexWriter(spark, cfg).build(tdf, idx)
 build_sec = time.monotonic() - t0
 
 reader = BloomIndexReader(spark, idx)
-queries = []
-for i in range(16):
+queries = {}
+for i in range(64):
     w = f"w{(i * 317) % 5000:05d}"
     role = ["user", "assistant", None, "tool"][i % 4]
-    queries.append(reader.transcript_query_tokens(role, None, [w]))
+    queries[f"q{i}"] = reader.transcript_query_tokens(role, None, [w])
 t0 = time.monotonic()
-hits = sum(reader.search(toks).count() for toks in queries)
+hits = reader.search_many(queries).count()
 query_sec = time.monotonic() - t0
 shutil.rmtree(idx, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cores": cores, "rows": stats["rows"], "build_sec": build_sec,
-    "query_sec": query_sec, "hits": hits,
+    "query_sec": query_sec, "hits": hits, "n_queries": len(queries),
     "turns_per_sec": stats["rows"] / build_sec,
     "queries_per_sec": len(queries) / query_sec,
 }))
@@ -96,7 +101,7 @@ Identical deterministic input ({N_TURNS:,} synthetic transcript turns,
 seed=42, 64 shards), identical code, two parallelism levels in separate
 Spark sessions. Same query results at both levels (hits={lo['hits']}).
 
-| parallelism | build sec | turns/sec | query sec (16 queries) | queries/sec |
+| parallelism | build sec | turns/sec | query sec (64 batched queries) | queries/sec |
 |---|---|---|---|---|
 | local[{N_LOW}] | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {lo['query_sec']:.1f} | {lo['queries_per_sec']:.2f} |
 | local[{N_HIGH}] | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {hi['query_sec']:.1f} | {hi['queries_per_sec']:.2f} |
