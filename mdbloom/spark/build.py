@@ -279,6 +279,11 @@ class BloomIndexWriter:
 
     # ---------------- artifacts ----------------
     def _slab_udf(self):
+        """Per-shard slab builder. Input may contain duplicate keys (one
+        row per record) — dedup happens HERE, inside the already-shard-
+        partitioned group, instead of a cluster-wide
+        dropDuplicates(shard,key) exchange. Slot order = sorted key order
+        (deterministic, content-addressed)."""
         cfg = self.cfg
         shape = cfg.shape
         chunk_slots = cfg.chunk_slots
@@ -286,7 +291,8 @@ class BloomIndexWriter:
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             t0 = time.monotonic()
             shard = int(pdf["shard"].iloc[0])
-            pdf = pdf.sort_values("key", kind="mergesort")
+            pdf = pdf.drop_duplicates("key").sort_values("key",
+                                                         kind="mergesort")
             raw = pdf["filter"].to_numpy()
             filters = np.stack([np.frombuffer(r, dtype=B.U64) for r in raw]) \
                 if len(raw) else B.zeros(shape.m, 0)
@@ -305,6 +311,21 @@ class BloomIndexWriter:
             return out
 
         return build
+
+    def _slotmap_udf(self):
+        """Per-shard slot map: same dedup + sort as the slab builder, so
+        slot i in the slab is key i here — derived, never communicated."""
+        def mk(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            keys = pdf["key"].drop_duplicates().sort_values(
+                kind="mergesort").reset_index(drop=True)
+            return pd.DataFrame({
+                "shard": shard,
+                "slot": np.arange(len(keys), dtype=np.int64),
+                "key": keys,
+            })
+
+        return mk
 
     def _manifest_udf(self):
         shape = self.cfg.shape
@@ -342,20 +363,19 @@ class BloomIndexWriter:
         os.makedirs(path, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-        fp_df = self.fingerprints(df)
+        # fingerprint pass runs exactly once; resume matching is a pandas
+        # merge on the tiny collected result
+        fp_pdf = self.fingerprints(df).toPandas()
         skip_shards: list[int] = []
         old_manifest = None
         manifest_path = os.path.join(path, "manifest")
         if resume and os.path.exists(manifest_path):
             old_manifest = spark.read.parquet(manifest_path)
-            old_fp = old_manifest.select("shard", "n_turns", "fingerprint")
-            matched = (fp_df.alias("new")
-                       .join(old_fp.alias("old"),
-                             ["shard", "n_turns", "fingerprint"], "inner")
-                       .select("shard"))
-            skip_shards = [r.shard for r in matched.collect()]
-
-        fp_pdf = fp_df.toPandas()
+            old_fp = old_manifest.select("shard", "n_turns",
+                                         "fingerprint").toPandas()
+            matched = fp_pdf.merge(
+                old_fp, on=["shard", "n_turns", "fingerprint"], how="inner")
+            skip_shards = [int(s) for s in matched["shard"]]
         build_shards = sorted(set(fp_pdf["shard"]) - set(skip_shards))
         if not build_shards:
             return {"built": 0, "skipped": len(skip_shards),
@@ -365,6 +385,9 @@ class BloomIndexWriter:
             F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                    F.lit(cfg.n_shards)).cast("int").isin(build_shards))
 
+        # ONE wide exchange: everything downstream is per-shard local.
+        # groupBy("shard") on a DataFrame already hash-partitioned by shard
+        # reuses this partitioning (no further exchange).
         filters = (self.filters_df(src)
                    .repartition(cfg.n_shards, "shard")
                    .persist())
@@ -375,29 +398,30 @@ class BloomIndexWriter:
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "storage")))
 
-            distinct = filters.select("shard", "key", "filter") \
-                .dropDuplicates(["shard", "key"])
-            from pyspark.sql.window import Window
-            slot_w = Window.partitionBy("shard").orderBy("key")
-            (distinct.withColumn("slot",
-                                 F.row_number().over(slot_w) - F.lit(1))
-             .select("shard", "slot", "key")
+            kf = filters.select("shard", "key", "filter")
+            (kf.groupBy("shard")
+             .applyInPandas(self._slotmap_udf(),
+                            schema="shard int, slot long, key string")
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "slotmap")))
 
-            slabs = distinct.groupBy("shard").applyInPandas(
-                self._slab_udf(), schema=SLAB_SCHEMA)
-            slabs.write.mode("overwrite").partitionBy("shard") \
-                .parquet(os.path.join(path, "slabs"))
+            (kf.groupBy("shard")
+             .applyInPandas(self._slab_udf(), schema=SLAB_SCHEMA)
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(path, "slabs")))
         finally:
             filters.unpersist()
 
+        # fingerprints were already collected — rebuild the tiny DF instead
+        # of re-running the input aggregation
+        fp_small = spark.createDataFrame(
+            fp_pdf, schema="shard int, n_turns long, fingerprint long")
         slabs_rd = spark.read.parquet(os.path.join(path, "slabs")) \
             .where(F.col("shard").isin(build_shards))
         manifest_new = (slabs_rd.groupBy("shard")
                         .applyInPandas(self._manifest_udf(),
                                        schema=MANIFEST_SCHEMA)
-                        .join(fp_df, "shard")
+                        .join(fp_small, "shard")
                         .join(self.token_gate_df(src), "shard", "left"))
         if old_manifest is not None and skip_shards:
             manifest_all = manifest_new.unionByName(
