@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
     df = synthesize_transcripts(spark, 4000, seed=42)
     cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
                       chunk_slots=4096)
-    path = os.path.join(_CACHE_ROOT, "flagship_idx")
+    ckey = hashlib.md5(cfg.to_json().encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"flagship_idx_{ckey}")
     BloomIndexWriter(spark, cfg).build(df, path, resume=True)
     r = BloomIndexReader(spark, path)
     toks = r.transcript_query_tokens("assistant", "Bash", ["w00002"])
@@ -67,11 +68,11 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     from mdbloom.spark.build import BloomIndexWriter, IndexConfig
     from mdbloom.spark.query import BloomIndexReader
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, f"docs_idx_{key}")
     cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=8,
                       chunk_slots=4096, tag_columns=("lang", "source"),
                       text_column="text", id_columns=("doc_id",))
+    key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"docs_idx_{key}")
     docs = _t(spark, sf_dir, "documents")
     BloomIndexWriter(spark, cfg).build(docs, path, resume=True)
     return BloomIndexReader(spark, path)

@@ -68,7 +68,8 @@ def main():
     # Iceberg-shaped stored table, not a generator) — synth time reported
     # separately, build measured from storage like production
     timed("synthesize_input",
-          lambda: synthesize_transcripts(spark, n_turns, seed=42)
+          lambda: synthesize_transcripts(spark, n_turns, seed=42,
+                                         n_partitions=max(128, CPUS * 4))
           .write.mode("overwrite").parquet(src_path))
     tdf = spark.read.parquet(src_path)
 

@@ -97,14 +97,21 @@ class TokenMaskCache:
     tokens' masks (the Spark build path fans these out with
     ``np.bitwise_or.reduceat``)."""
 
-    def __init__(self, shape: Shape):
+    # cap memoization so open vocabularies (ids, hashes) can't grow a
+    # worker-resident cache unboundedly; vocabulary-like corpora never hit it
+    MAX_ENTRIES = 1 << 20
+
+    def __init__(self, shape: Shape, max_entries: int | None = None):
         self.shape = shape
+        self.max_entries = max_entries or self.MAX_ENTRIES
         self._cache: dict = {}
 
     def masks_for(self, tokens: np.ndarray) -> np.ndarray:
         """(T,) object array of tokens -> (T, W) packed masks, memoized on
         unique tokens."""
         uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+        if len(self._cache) + len(uniq) > self.max_entries:
+            self._cache.clear()
         missing = [t for t in uniq if t not in self._cache]
         if missing:
             h1s, h2s = hash_unique_tokens(missing)

@@ -92,6 +92,13 @@ class IndexConfig:
     tag_columns: tuple = ("role", "tool")
     text_column: str = "text"
     id_columns: tuple = ("conv_id", "turn_idx")
+    # "jvm": token hashing + filter assembly as Spark SQL higher-order
+    # expressions (xxhash64 + enhanced double hashing, whole-stage codegen,
+    # zero Python in the hot path) — the scale path. "python": md5-based
+    # NumPy kernel inside mapInPandas (the north-star-literal path). The
+    # two produce different (both valid) bit layouts; the backend is
+    # recorded in config.json and the reader hashes accordingly.
+    hash_backend: str = "jvm"
     shape: Shape = field(init=False)
     gate_shape: Shape = field(init=False)
 
@@ -111,6 +118,7 @@ class IndexConfig:
             "tag_columns": list(self.tag_columns),
             "text_column": self.text_column,
             "id_columns": list(self.id_columns),
+            "hash_backend": self.hash_backend,
             "shape": self.shape.to_dict(),
         })
 
@@ -124,7 +132,8 @@ class IndexConfig:
             gate_m=d.get("gate_m", 1 << 20), gate_k=d.get("gate_k", 4),
             tag_columns=tuple(d["tag_columns"]),
             text_column=d["text_column"],
-            id_columns=tuple(d["id_columns"]))
+            id_columns=tuple(d["id_columns"]),
+            hash_backend=d.get("hash_backend", "python"))
         return cfg
 
 
@@ -178,7 +187,11 @@ class BloomIndexWriter:
 
     # ---------------- hash pass ----------------
     def filters_df(self, df: DataFrame) -> DataFrame:
-        """transcripts -> (shard, key, conv_id, turn_idx, filter)."""
+        """records -> (shard, key, <id columns>, filter).
+
+        hash_backend="jvm": the whole filter build is Spark SQL expressions
+        (see mdbloom.spark.jvm_hash) — zero Python, whole-stage codegen.
+        hash_backend="python": md5+NumPy kernel inside mapInPandas."""
         cfg = self.cfg
         cols = list(cfg.id_columns) + [c for c in cfg.tag_columns
                                        if c in df.columns]
@@ -187,6 +200,18 @@ class BloomIndexWriter:
         sharded = df.select(*cols).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
+
+        if cfg.hash_backend == "jvm":
+            from mdbloom.spark import jvm_hash as J
+            toks = J.tokens_col(cfg)
+            words = J.filter_words_col(J.positions_col(toks, cfg.shape),
+                                       cfg.shape)
+            fbin = J.filter_binary_col(F.col("_words"), cfg.shape)
+            return (sharded
+                    .withColumn("_words", words)
+                    .withColumn("filter", fbin)
+                    .select("shard", F.md5(F.col("filter")).alias("key"),
+                            *cfg.id_columns, "filter"))
 
         id_cols = list(cfg.id_columns)
 
@@ -224,6 +249,31 @@ class BloomIndexWriter:
         sharded = df.select(*sel).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
+
+        if cfg.hash_backend == "jvm":
+            from mdbloom.spark import jvm_hash as J
+            toks = (sharded
+                    .select("shard", F.explode(J.tokens_col(cfg))
+                            .alias("token"))
+                    .select("shard", F.xxhash64("token").alias("h1"),
+                            F.xxhash64("token", F.lit(1)).alias("h2"))
+                    .dropDuplicates(["shard", "h1", "h2"]))
+
+            def build_gate_jvm(pdf: pd.DataFrame) -> pd.DataFrame:
+                shard = int(pdf["shard"].iloc[0])
+                gate = B.zeros(gate_shape.m)
+                if len(pdf):
+                    pos = J.gate_positions_batch(
+                        pdf["h1"].to_numpy(), pdf["h2"].to_numpy(),
+                        gate_shape)
+                    B.set_bits(gate, np.unique(pos.ravel()))
+                return pd.DataFrame([{"shard": shard,
+                                      "token_gate": B.to_bytes(gate),
+                                      "n_tokens": len(pdf)}])
+
+            return toks.groupBy("shard").applyInPandas(
+                build_gate_jvm,
+                schema="shard int, token_gate binary, n_tokens long")
 
         def extract(iterator):
             for pdf in iterator:
@@ -287,6 +337,9 @@ class BloomIndexWriter:
         cfg = self.cfg
         shape = cfg.shape
         chunk_slots = cfg.chunk_slots
+        # jvm backend serializes words big-endian (SQL cast bigint->binary);
+        # python backend little-endian. Values are identical either way.
+        src_dtype = ">u8" if cfg.hash_backend == "jvm" else B.U64
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             t0 = time.monotonic()
@@ -294,8 +347,9 @@ class BloomIndexWriter:
             pdf = pdf.drop_duplicates("key").sort_values("key",
                                                          kind="mergesort")
             raw = pdf["filter"].to_numpy()
-            filters = np.stack([np.frombuffer(r, dtype=B.U64) for r in raw]) \
-                if len(raw) else B.zeros(shape.m, 0)
+            filters = np.stack(
+                [np.frombuffer(r, dtype=src_dtype).astype(np.uint64)
+                 for r in raw]) if len(raw) else B.zeros(shape.m, 0)
             n = filters.shape[0]
             rows = []
             for lo in range(0, n, chunk_slots):
@@ -369,6 +423,14 @@ class BloomIndexWriter:
         skip_shards: list[int] = []
         old_manifest = None
         manifest_path = os.path.join(path, "manifest")
+        # a resume against an index built with a DIFFERENT config (other
+        # shape, backend, sharding) would silently mix incompatible
+        # artifacts — force a full rebuild instead
+        cfg_path = os.path.join(path, "config.json")
+        if resume and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                if f.read() != self.cfg.to_json():
+                    resume = False
         if resume and os.path.exists(manifest_path):
             old_manifest = spark.read.parquet(manifest_path)
             old_fp = old_manifest.select("shard", "n_turns",
@@ -441,3 +503,45 @@ class BloomIndexWriter:
 
         return {"built": len(build_shards), "skipped": len(skip_shards),
                 "rows": int(n_rows), "sec": time.monotonic() - t0}
+
+    # ---------------- deletes (C4 at scale) ----------------
+    def remove(self, df: DataFrame, path: str) -> int:
+        """Distributed `remove` (`ContainerImpl.java:134-153` semantics at
+        scale): delete the given records (matched on the id columns).
+
+        Mutating immutable per-shard artifacts in place would reintroduce
+        the reference's read-modify-write races (`IgniteStorage.java:57-66`,
+        SURVEY §3.4), so deletes are APPEND-ONLY TOMBSTONES
+        (SURVEY §7 hard part (b)): one row per deleted record id in
+        ``tombstones/``. Readers anti-join them (see
+        BloomIndexReader.storage); a later :meth:`compact` folds them in.
+        Containment search stays sound: tombstoned rows can only appear as
+        Bloom-style false positives until compaction, and verified search
+        already filters them exactly. Returns rows tombstoned."""
+        cfg = self.cfg
+        ids = df.select(*cfg.id_columns).dropDuplicates(
+            list(cfg.id_columns)).withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
+                            F.lit(cfg.n_shards)).cast("int"))
+        out = os.path.join(path, "tombstones")
+        ids.write.mode("append").parquet(out)
+        return ids.count()
+
+    def compact(self, source_df: DataFrame, path: str) -> dict:
+        """Fold tombstones in: rebuild from the surviving source rows via
+        the normal resume path. Only shards whose input fingerprint changed
+        (i.e. shards containing deletes) are rebuilt — everything else is
+        skipped — then the tombstone table is dropped. Slabs need the
+        original tokens, hence the source table parameter."""
+        import shutil
+        spark = self.spark
+        cfg = self.cfg
+        tomb = os.path.join(path, "tombstones")
+        if not os.path.exists(tomb):
+            return {"built": 0, "skipped": cfg.n_shards, "rows": 0, "sec": 0}
+        dead = spark.read.parquet(tomb).select(*cfg.id_columns) \
+            .dropDuplicates(list(cfg.id_columns))
+        alive = source_df.join(dead, list(cfg.id_columns), "left_anti")
+        stats = self.build(alive, path, resume=True)
+        shutil.rmtree(tomb, ignore_errors=True)
+        return stats

@@ -48,14 +48,31 @@ class BloomIndexReader:
         with open(os.path.join(path, "config.json")) as f:
             self.cfg = IndexConfig.from_json(f.read())
         self.shape = self.cfg.shape
-        self._cache = TokenMaskCache(self.shape)
-        self._gate_cache = TokenMaskCache(self.cfg.gate_shape)
+        if self.cfg.hash_backend == "jvm":
+            from mdbloom.spark.jvm_hash import JvmTokenHasher
+            self._jvm_hasher = JvmTokenHasher(spark)
+            self._cache = None
+            self._gate_cache = None
+        else:
+            self._jvm_hasher = None
+            self._cache = TokenMaskCache(self.shape)
+            self._gate_cache = TokenMaskCache(self.cfg.gate_shape)
         self._manifest: pd.DataFrame | None = None
         self._prune_state: tuple | None = None
 
     # ---------------- tables ----------------
     def storage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "storage"))
+        """Storage rows, minus any append-only tombstones (distributed
+        `remove`: BloomIndexWriter.remove). Until compaction, index slabs
+        may still name tombstoned keys — those surface here as no rows,
+        exactly like a Bloom false positive, so search soundness holds."""
+        df = self.spark.read.parquet(os.path.join(self.path, "storage"))
+        tomb = os.path.join(self.path, "tombstones")
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb) \
+                .select(*self.cfg.id_columns)
+            df = df.join(dead, list(self.cfg.id_columns), "left_anti")
+        return df
 
     def slotmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "slotmap"))
@@ -72,16 +89,41 @@ class BloomIndexReader:
 
     # ---------------- metrics (C5-C7, Container.java:38-57) ----------------
     def value_count(self) -> int:
-        return int(self.manifest()["n_turns"].sum())
+        n = int(self.manifest()["n_turns"].sum())
+        tomb = os.path.join(self.path, "tombstones")
+        if os.path.exists(tomb):
+            n -= self.spark.read.parquet(tomb) \
+                .dropDuplicates(list(self.cfg.id_columns)).count()
+        return n
+
+    def metrics(self) -> DataFrame:
+        """Per-partition lineage + metrics as a DataFrame (north rule):
+        shard, rows, distinct filters, chunks, build_ms, fingerprint,
+        token count, summary cardinality."""
+        man = self.spark.read.parquet(os.path.join(self.path, "manifest"))
+        return man.select(
+            "shard", "n_turns", "n_slots", "n_chunks", "build_ms",
+            "fingerprint", "n_tokens",
+            F.length("summary").alias("summary_bytes"))
 
     def filter_count(self) -> int:
         return int(self.manifest()["n_slots"].sum())
 
     # ---------------- planning ----------------
     def query_bits(self, tokens) -> np.ndarray:
-        """Dimension tokens -> sorted distinct bit positions (build-side
-        hashing: md5 + enhanced double hashing via TokenMaskCache)."""
+        """Dimension tokens -> sorted distinct bit positions, using the
+        SAME hashing the index was built with (recorded in config.json):
+        jvm backend = xxhash64 mirror, python backend = md5 TokenMaskCache;
+        both use enhanced double hashing."""
+        if self._jvm_hasher is not None:
+            return self._jvm_hasher.positions(list(tokens), self.shape)
         return self._cache.bit_positions_for(list(tokens))
+
+    def _gate_filter(self, tokens) -> np.ndarray:
+        if self._jvm_hasher is not None:
+            return self._jvm_hasher.packed_filter(list(tokens),
+                                                  self.cfg.gate_shape)
+        return self._gate_cache.filter_for(list(tokens))
 
     def transcript_query_tokens(self, role: str | None = None,
                                 tool: str | None = None,
@@ -125,7 +167,7 @@ class BloomIndexReader:
             query = B.from_bits(qbits, self.shape.m)
             keep &= B.contains(summaries, query)
         if tokens and gates is not None:
-            gq = self._gate_cache.filter_for(list(tokens))
+            gq = self._gate_filter(tokens)
             keep &= B.contains(gates, gq)
         return sorted(int(s) for s in shards[keep])
 
@@ -175,19 +217,29 @@ class BloomIndexReader:
         job chains — per-query latency amortizes to ~zero. Per-query shard
         pruning still applies inside the scan via a broadcast plan."""
         plans = {}
+        match_all: list[str] = []
         all_shards: set[int] = set()
         for name, toks in queries.items():
             qbits = self.query_bits(toks)
+            if qbits.size == 0:
+                match_all.append(name)  # empty query matches everything
+                continue
             shards = self.prune_shards(qbits, toks)
-            if qbits.size == 0 or not shards:
-                continue  # empty-query / fully-pruned handled by caller
+            if not shards:
+                continue  # pruned to zero shards: definite miss
             plans[name] = (qbits.tolist(), set(shards))
             all_shards.update(shards)
         slotmap = self.slotmap()
+        empty = (slotmap.where(F.lit(False))
+                 .withColumn("query", F.lit(""))
+                 .select("query", "shard", "slot", "key"))
+        all_part = empty
+        for name in match_all:
+            all_part = all_part.unionByName(
+                slotmap.withColumn("query", F.lit(name))
+                .select("query", "shard", "slot", "key"))
         if not plans:
-            return (slotmap.where(F.lit(False))
-                    .withColumn("query", F.lit(""))
-                    .select("query", "shard", "slot", "key"))
+            return all_part
         m = self.shape.m
         plans_l = {k: (v[0], sorted(v[1])) for k, v in plans.items()}
 
@@ -219,9 +271,11 @@ class BloomIndexReader:
                    .where(F.col("shard").isin(sorted(all_shards)))
                    .mapInPandas(scan,
                                 schema="query string, shard int, slot long"))
-        return hits_df.join(
+        joined = hits_df.join(
             slotmap.where(F.col("shard").isin(sorted(all_shards))),
-            ["shard", "slot"], "inner")
+            ["shard", "slot"], "inner").select("query", "shard", "slot",
+                                               "key")
+        return joined.unionByName(all_part) if match_all else joined
 
     def search_many(self, queries: dict) -> DataFrame:
         """Batched search -> storage rows tagged by query name."""
@@ -260,9 +314,14 @@ class BloomIndexReader:
     def get(self, tokens) -> DataFrame:
         """Exact (bit-for-bit) match: content-addressed key equality
         (`ContainerImpl.java:111-122` via I6 'natural' index semantics)."""
-        filt = self._cache.filter_for(list(tokens))
-        key = B.content_key(filt)
-        qbits = np.flatnonzero(B.unpack(filt, self.shape.m)).astype(np.int64)
+        if self._jvm_hasher is not None:
+            key = self._jvm_hasher.content_key(list(tokens), self.shape)
+            qbits = self._jvm_hasher.positions(list(tokens), self.shape)
+        else:
+            filt = self._cache.filter_for(list(tokens))
+            key = B.content_key(filt)
+            qbits = np.flatnonzero(
+                B.unpack(filt, self.shape.m)).astype(np.int64)
         shards = self.prune_shards(qbits, tokens)
         if not shards:
             return self.storage().where(F.lit(False))

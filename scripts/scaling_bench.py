@@ -41,7 +41,10 @@ cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=64,
                   chunk_slots=65536)
 import os
 if not os.path.exists(src + "/_SUCCESS"):
-    synthesize_transcripts(spark, n_turns, seed=42) \
+    # 128 files: a realistically-partitioned stored table (a low file count
+    # would cap the narrow hash pass at n_files tasks and fake an Amdahl
+    # bottleneck the real 100TB layout doesn't have)
+    synthesize_transcripts(spark, n_turns, seed=42, n_partitions=128) \
         .write.mode("overwrite").parquet(src)
 tdf = spark.read.parquet(src)
 

@@ -35,3 +35,10 @@ def test_search_many_matches_individual_searches(spark, reader):
                        .itertuples(index=False)))
         assert got == want, name
     assert (batched["query"] == "absent").sum() == 0
+
+
+def test_search_many_empty_query_matches_all(spark, reader):
+    out = reader.search_many({"every": [], "none": ["tok=zzznope"]}) \
+        .toPandas()
+    assert (out["query"] == "every").sum() == reader.value_count()
+    assert (out["query"] == "none").sum() == 0

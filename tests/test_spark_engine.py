@@ -144,14 +144,15 @@ def test_exact_get_roundtrip(spark, built_index, transcripts_df,
     got = r.get(toks).select("conv_id", "turn_idx").toPandas()
     assert (row["conv_id"], row["turn_idx"]) in set(
         map(tuple, got.itertuples(index=False)))
-    # a subset of dimensions must NOT exact-match this record's filter
-    sub = r.get(toks[:1])
-    full_keyset = set(got["conv_id"])
-    # subset query has its own (different) key; it may match other rows but
-    # not via this record's filter — verify keys differ
-    from mdbloom import bits as B
-    assert B.content_key(r._cache.filter_for(toks)) != \
-        B.content_key(r._cache.filter_for(toks[:1]))
+    # a subset of dimensions has a DIFFERENT content key (exact get is
+    # bit-for-bit, backend-agnostic check via the reader's own hasher)
+    def key_of(ts):
+        from mdbloom import bits as B
+        if r._jvm_hasher is not None:
+            return r._jvm_hasher.content_key(ts, r.shape)
+        return B.content_key(r._cache.filter_for(ts))
+
+    assert key_of(toks) != key_of(toks[:1])
 
 
 def test_counts(spark, built_index, transcripts_pdf):
@@ -173,6 +174,31 @@ def test_pruning_skips_shards(spark, built_index):
     assert len(r.prune_shards(r.query_bits(toks2), toks2)) == 0
     # and a pruned-to-zero query returns an empty result end-to-end
     assert r.search(toks2).count() == 0
+
+
+def test_python_backend_parity(spark, transcripts_df, transcripts_pdf,
+                               tmp_path):
+    """The md5/NumPy backend (hash_backend='python') must produce the same
+    verified results and bounded raw FPs as the JVM backend."""
+    path = str(tmp_path / "pyidx")
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
+                      chunk_slots=256, hash_backend="python")
+    BloomIndexWriter(spark, cfg).build(transcripts_df.limit(800), path)
+    r = BloomIndexReader(spark, path)
+    assert r.cfg.hash_backend == "python"
+    sub = transcripts_df.limit(800)
+    sub_pdf = sub.toPandas()
+    toks = r.transcript_query_tokens("assistant", None, ["w00001"])
+    got = set(map(tuple, r.search_verified(toks, sub)
+                  .select("conv_id", "turn_idx").toPandas()
+                  .itertuples(index=False)))
+    want = set(map(tuple, exact_matches(sub_pdf, "assistant", None,
+                                        ["w00001"])[["conv_id", "turn_idx"]]
+                   .itertuples(index=False)))
+    assert got == want
+    raw = r.search(toks).count()
+    assert raw >= len(want)
+    assert raw <= len(want) + 3 * r.shape.probability * 800 + 5
 
 
 # ---------------- resume / lineage ----------------
