@@ -201,19 +201,35 @@ class BloomIndexWriter:
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
 
+        id_cols = list(cfg.id_columns)
+
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
+            shape = cfg.shape
             toks = J.tokens_col(cfg)
-            words = J.filter_words_col(J.positions_col(toks, cfg.shape),
-                                       cfg.shape)
-            fbin = J.filter_binary_col(F.col("_words"), cfg.shape)
-            return (sharded
-                    .withColumn("_words", words)
-                    .withColumn("filter", fbin)
-                    .select("shard", F.md5(F.col("filter")).alias("key"),
-                            *cfg.id_columns, "filter"))
+            h1c, h2c = J.token_hash_cols(toks)
+            hashed = sharded.select("shard", *id_cols,
+                                    h1c.alias("_h1"), h2c.alias("_h2"))
 
-        id_cols = list(cfg.id_columns)
+            def pack_batches(iterator):
+                for pdf in iterator:
+                    if not len(pdf):
+                        continue
+                    packed = J.filters_from_hash_batch(
+                        pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(),
+                        shape).astype(B.U64)
+                    out = {
+                        "shard": pdf["shard"].to_numpy(),
+                        "key": B.content_keys(packed),
+                    }
+                    for c in id_cols:
+                        out[c] = pdf[c].to_numpy()
+                    out["filter"] = [packed[i].tobytes()
+                                     for i in range(len(pdf))]
+                    yield pd.DataFrame(out)
+
+            return hashed.mapInPandas(pack_batches,
+                                      schema=_filter_schema(df, id_cols))
 
         def hash_batches(iterator):
             for pdf in iterator:
@@ -337,9 +353,6 @@ class BloomIndexWriter:
         cfg = self.cfg
         shape = cfg.shape
         chunk_slots = cfg.chunk_slots
-        # jvm backend serializes words big-endian (SQL cast bigint->binary);
-        # python backend little-endian. Values are identical either way.
-        src_dtype = ">u8" if cfg.hash_backend == "jvm" else B.U64
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             t0 = time.monotonic()
@@ -347,9 +360,8 @@ class BloomIndexWriter:
             pdf = pdf.drop_duplicates("key").sort_values("key",
                                                          kind="mergesort")
             raw = pdf["filter"].to_numpy()
-            filters = np.stack(
-                [np.frombuffer(r, dtype=src_dtype).astype(np.uint64)
-                 for r in raw]) if len(raw) else B.zeros(shape.m, 0)
+            filters = np.stack([np.frombuffer(r, dtype=B.U64) for r in raw]) \
+                if len(raw) else B.zeros(shape.m, 0)
             n = filters.shape[0]
             rows = []
             for lo in range(0, n, chunk_slots):

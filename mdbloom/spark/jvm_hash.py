@@ -42,12 +42,6 @@ def _tet(k: int) -> list[int]:
     return [(i ** 3 - i) // 6 for i in range(k)]
 
 
-def _pow2_array() -> Column:
-    """array<long> literal with POW2[j+1] = 1 << j (signed-wrapped at 63)."""
-    vals = [1 << j for j in range(63)] + [-(1 << 63)]
-    return F.array(*[F.lit(v).cast("long") for v in vals])
-
-
 def tokens_col(cfg) -> Column:
     """array<string> of tagged dimension tokens per record, identical
     tokenization to build.record_tokens_pandas (whitespace split, 'col='
@@ -70,45 +64,40 @@ def tokens_col(cfg) -> Column:
     return F.array_distinct(toks)
 
 
-def positions_col(toks: Column, shape: Shape) -> Column:
-    """array<long> of all k bit positions of every token (flattened)."""
-    m = F.lit(shape.m).cast("long")
-    tet = _tet(shape.k)
+def token_hash_cols(toks: Column) -> tuple[Column, Column]:
+    """Two array<long> columns of the per-token 64-bit hash pair.
 
-    def per_token(t: Column) -> Column:
-        a = F.pmod(F.xxhash64(t), m)
-        b = F.pmod(F.xxhash64(t, F.lit(1)), m)
-        return F.array(*[
-            F.pmod(a + F.lit(i).cast("long") * b + F.lit(tet[i]), m)
-            for i in range(shape.k)])
-
-    return F.flatten(F.transform(toks, per_token))
-
-
-def filter_words_col(positions: Column, shape: Shape) -> Column:
-    """array<long> of the W packed filter words from the positions."""
-    pow2 = _pow2_array()
-
-    def word(w: int) -> Column:
-        return F.aggregate(
-            positions, F.lit(0).cast("long"),
-            lambda acc, p: acc.bitwiseOR(
-                F.when(F.shiftright(p, 6) == F.lit(w),
-                       F.element_at(pow2, (p.bitwiseAND(F.lit(63))
-                                           + F.lit(1)).cast("int")))
-                .otherwise(F.lit(0).cast("long"))))
-
-    return F.array(*[word(w) for w in range(shape.words)])
+    Note: filter-word assembly is deliberately NOT done in SQL — Spark's
+    higher-order functions (transform/aggregate) are interpreted
+    (CodegenFallback), and projection collapse re-evaluates the shared
+    positions subtree once per output word, which measured ~3x SLOWER than
+    the pandas path. The winning split: JVM owns strings (tokenize + hash,
+    codegen'd), Python receives only numeric hash arrays and runs the
+    k-hash loop + bit packing vectorized in NumPy."""
+    return (F.transform(toks, lambda t: F.xxhash64(t)),
+            F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))))
 
 
-def filter_binary_col(words: Column, shape: Shape) -> Column:
-    """Canonical bytes: big-endian 8-byte words, concatenated in order.
-    (unhex(lpad(hex(w))) rather than cast-to-binary: ANSI mode forbids
-    bigint->binary casts; hex of a negative long is its full 16-nibble
-    two's complement, so the bytes are identical.)"""
-    return F.concat(*[
-        F.unhex(F.lpad(F.hex(F.element_at(words, w + 1)), 16, "0"))
-        for w in range(shape.words)])
+def filters_from_hash_batch(h1_lists, h2_lists, shape: Shape) -> np.ndarray:
+    """(N,) sequences of per-record hash arrays -> (N, W) packed filters.
+    Pure vectorized NumPy: enhanced-double-hashing positions for every
+    token, per-token masks, one OR-scatter per record."""
+    from mdbloom import bits as B
+    n = len(h1_lists)
+    out = B.zeros(shape.m, n)
+    lens = np.fromiter((len(x) for x in h1_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat1 = np.concatenate([np.asarray(x, dtype=np.int64)
+                            for x in h1_lists if len(x)])
+    flat2 = np.concatenate([np.asarray(x, dtype=np.int64)
+                            for x in h2_lists if len(x)])
+    pos = gate_positions_batch(flat1, flat2, shape)          # (T, k)
+    masks = B.masks_from_positions(pos, shape.m)             # (T, W)
+    rows = np.repeat(np.arange(n), lens)
+    np.bitwise_or.at(out, rows, masks)
+    return out
 
 
 # ---------------------------------------------------------------- driver mirror
@@ -155,11 +144,10 @@ class JvmTokenHasher:
         return B.from_bits(self.positions(tokens, shape), shape.m)
 
     def content_key(self, tokens, shape: Shape) -> str:
-        """md5 over the canonical big-endian word bytes — byte-identical to
-        the JVM's md5(concat(cast(word as binary)))."""
-        packed = self.packed_filter(tokens, shape)
-        raw = packed.astype(">u8").tobytes()
-        return hashlib.md5(raw).hexdigest()
+        """Canonical content key (md5 of little-endian packed bytes — the
+        engine-wide filter byte order, same as bits.content_key)."""
+        from mdbloom import bits as B
+        return B.content_key(self.packed_filter(tokens, shape))
 
 
 def gate_positions_batch(h1s: np.ndarray, h2s: np.ndarray,

@@ -216,6 +216,11 @@ class BloomIndexReader:
         share one Spark job (one slab read, one slotmap join) instead of Q
         job chains — per-query latency amortizes to ~zero. Per-query shard
         pruning still applies inside the scan via a broadcast plan."""
+        if self._jvm_hasher is not None:
+            # ONE tiny hash job for every token of every query — per-query
+            # planning jobs would dominate batched-search latency
+            self._jvm_hasher._ensure(
+                {t for toks in queries.values() for t in toks})
         plans = {}
         match_all: list[str] = []
         all_shards: set[int] = set()
