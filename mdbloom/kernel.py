@@ -23,15 +23,25 @@ U64 = B.U64
 def build_slab(filters: np.ndarray, m: int) -> np.ndarray:
     """(N, W) packed filters -> (m, S) slab, S = ceil(N/64).
 
-    Pure transpose: unpack to an (N, m) bit matrix, flip to (m, N), repack
-    along the filter axis. No per-filter Python (contrast the reference's
-    per-insert `setBloomAt`, `FlatBloofi.java:108-112` — we build whole
-    partitions at once)."""
+    Bit transpose without the naive strided repack: per 4096-filter block
+    (intermediates stay cache-resident — this machine showed parallel
+    NumPy collapses when every worker streams MB-scale temporaries),
+    unpack rows sequentially, pack along the FILTER axis (axis=0, byte
+    i holds filters 8i..8i+7 — little bit order matches the slab word
+    layout), then one small (m, C/8) byte transpose + a uint64 view. No
+    per-filter Python (contrast the reference's per-insert `setBloomAt`,
+    `FlatBloofi.java:108-112` — we build whole partitions at once)."""
     n = filters.shape[0]
-    if n == 0:
-        return np.zeros((m, 0), dtype=U64)
-    bit_matrix = B.unpack(filters, m)            # (N, m) uint8
-    return B.pack_bits_matrix(bit_matrix.T)      # (m, S) uint64
+    s = (n + 63) >> 6
+    out = np.zeros((m, s * 8), dtype=np.uint8)
+    chunk = 4096                                  # multiple of 64
+    for lo in range(0, n, chunk):
+        sub = filters[lo:lo + chunk]
+        c = sub.shape[0]
+        bit_matrix = B.unpack(sub, m)             # (C, m) uint8, sequential
+        p8 = np.packbits(bit_matrix, axis=0, bitorder="little")  # (C/8, m)
+        out[:, lo >> 3: (lo >> 3) + p8.shape[0]] = p8.T
+    return out.reshape(m, s, 8).view(U64).reshape(m, s)
 
 
 def slab_to_filters(slab: np.ndarray, n: int) -> np.ndarray:

@@ -206,18 +206,21 @@ class BloomIndexWriter:
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
             shape = cfg.shape
-            toks = J.tokens_col(cfg)
-            h1c, h2c = J.token_hash_cols(toks)
-            hashed = sharded.select("shard", *id_cols,
-                                    h1c.alias("_h1"), h2c.alias("_h2"))
+            n_words = (shape.m + 63) >> 6
+            # filter words assembled entirely in whole-stage codegen (see
+            # jvm_hash): Python only repacks W scalar long columns into the
+            # canonical little-endian binary + md5 content key — O(record)
+            # work on compact rows, not O(token)
+            words = J.aggregated_filter_words(sharded, cfg, id_cols)
 
             def pack_batches(iterator):
                 for pdf in iterator:
                     if not len(pdf):
                         continue
-                    packed = J.filters_from_hash_batch(
-                        pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(),
-                        shape).astype(B.U64)
+                    packed = np.column_stack(
+                        [pdf[f"_w{w}"].to_numpy(dtype=np.int64)
+                         for w in range(n_words)]).view(np.uint64) \
+                        .astype(B.U64, copy=False)
                     out = {
                         "shard": pdf["shard"].to_numpy(),
                         "key": B.content_keys(packed),
@@ -228,8 +231,8 @@ class BloomIndexWriter:
                                      for i in range(len(pdf))]
                     yield pd.DataFrame(out)
 
-            return hashed.mapInPandas(pack_batches,
-                                      schema=_filter_schema(df, id_cols))
+            return words.mapInPandas(pack_batches,
+                                     schema=_filter_schema(df, id_cols))
 
         def hash_batches(iterator):
             for pdf in iterator:
@@ -268,11 +271,10 @@ class BloomIndexWriter:
 
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
-            toks = (sharded
-                    .select("shard", F.explode(J.tokens_col(cfg))
-                            .alias("token"))
-                    .select("shard", F.xxhash64("token").alias("h1"),
-                            F.xxhash64("token", F.lit(1)).alias("h2"))
+            toks = (J.exploded_token_rows(sharded, cfg, [])
+                    .where(F.col("_t").isNotNull())
+                    .select("shard", F.xxhash64("_t").alias("h1"),
+                            F.xxhash64("_t", F.lit(1)).alias("h2"))
                     .dropDuplicates(["shard", "h1", "h2"]))
 
             def build_gate_jvm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -378,20 +380,20 @@ class BloomIndexWriter:
 
         return build
 
-    def _slotmap_udf(self):
-        """Per-shard slot map: same dedup + sort as the slab builder, so
-        slot i in the slab is key i here — derived, never communicated."""
-        def mk(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
-            keys = pdf["key"].drop_duplicates().sort_values(
-                kind="mergesort").reset_index(drop=True)
-            return pd.DataFrame({
-                "shard": shard,
-                "slot": np.arange(len(keys), dtype=np.int64),
-                "key": keys,
-            })
-
-        return mk
+    def slotmap_df(self, kf: DataFrame) -> DataFrame:
+        """Per-shard slot map, fully JVM-side: slot = rank of the key in
+        the shard's sorted distinct keys — the same (dedup, lexicographic
+        sort) the slab builder applies, so slot i in the slab is key i
+        here: derived, never communicated. Because ``kf`` is already
+        hash-partitioned by shard, both the window and the dedup are
+        exchange-free (hash(shard) satisfies their clustering)."""
+        from pyspark.sql import Window
+        wspec = Window.partitionBy("shard").orderBy("key")
+        return (kf.select("shard", "key")
+                .withColumn("slot",
+                            (F.dense_rank().over(wspec) - 1).cast("long"))
+                .dropDuplicates(["shard", "key"])
+                .select("shard", "slot", "key"))
 
     def _manifest_udf(self):
         shape = self.cfg.shape
@@ -473,9 +475,7 @@ class BloomIndexWriter:
              .parquet(os.path.join(path, "storage")))
 
             kf = filters.select("shard", "key", "filter")
-            (kf.groupBy("shard")
-             .applyInPandas(self._slotmap_udf(),
-                            schema="shard int, slot long, key string")
+            (self.slotmap_df(kf)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "slotmap")))
 

@@ -65,17 +65,77 @@ def tokens_col(cfg) -> Column:
 
 
 def token_hash_cols(toks: Column) -> tuple[Column, Column]:
-    """Two array<long> columns of the per-token 64-bit hash pair.
-
-    Note: filter-word assembly is deliberately NOT done in SQL — Spark's
-    higher-order functions (transform/aggregate) are interpreted
-    (CodegenFallback), and projection collapse re-evaluates the shared
-    positions subtree once per output word, which measured ~3x SLOWER than
-    the pandas path. The winning split: JVM owns strings (tokenize + hash,
-    codegen'd), Python receives only numeric hash arrays and runs the
-    k-hash loop + bit packing vectorized in NumPy."""
+    """Two array<long> columns of the per-token 64-bit hash pair (legacy
+    array-shipping path; the scale path is :func:`aggregated_filter_words`
+    below, which never materializes per-record arrays at all)."""
     return (F.transform(toks, lambda t: F.xxhash64(t)),
             F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))))
+
+
+# ------------------------------------------------------- full-JVM assembly
+#
+# Measured on this box (32-core single-socket VM): streaming-NumPy position
+# math inside pandas UDFs is MEMORY-BANDWIDTH-bound — 32 parallel workers
+# achieve LOWER aggregate token throughput than one (0.7us -> 30us/token),
+# so the pandas hash pass cannot scale no matter how it is batched. The
+# same arithmetic expressed as scalar Spark SQL expressions runs inside
+# whole-stage codegen with every intermediate in a CPU register: DRAM
+# traffic is just token bytes in, W words out, and throughput scales with
+# cores. This is the honest 100 TB shape: per-core memory bandwidth is the
+# scarce resource on real executors too.
+#
+# Pipeline (all codegen, zero Python):
+#   explode(tokens)                         -> one row per (record, token)
+#   h1, h2      = xxhash64(t), xxhash64(t, 1)
+#   pos_i       = pmod(pmod(h1,m) + i*pmod(h2,m) + tet_i, m)   i < k
+#   _w{w}       = OR over i of IF(pos_i div 64 = w,
+#                                 shiftleft(1L, pos_i % 64), 0L)
+#   groupBy(shard, ids).agg(bit_or(_w{w}))  -> packed words per record
+#                                              (map-side partial combine)
+# Records with NO tokens survive via explode_outer + a null guard (zero
+# filter — same semantics as putting an empty hasher).
+
+
+def positions_array_sql(shape: Shape) -> str:
+    """SQL `array<long>` of the k bit positions of token column `_t` via
+    enhanced double hashing — identical arithmetic to
+    :meth:`JvmTokenHasher.positions` and mdbloom.hashing. Null token (a
+    record with no dimensions) maps to an empty array."""
+    m, k = shape.m, shape.k
+    tet = [((i ** 3 - i) // 6) % m for i in range(k)]
+    pos = ", ".join(
+        f"pmod(pmod(xxhash64(_t), {m}) + {i} * pmod(xxhash64(_t, 1), {m})"
+        f" + {tet[i]}, {m})" for i in range(k))
+    return f"if(_t is null, array(), array({pos}))"
+
+
+def exploded_token_rows(sharded_df, cfg, id_cols) -> "DataFrame":
+    """(shard, *ids, _t): one codegen'd row per record token; token-less
+    records yield a single null-token row (explode_outer)."""
+    return sharded_df.select("shard", *id_cols,
+                             F.explode_outer(tokens_col(cfg)).alias("_t"))
+
+
+def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
+    """(shard, *ids, _w0.._w{W-1}): one row per record with its packed
+    filter words, built entirely JVM-side.
+
+    The whole chain — explode(tokens) -> explode(k positions) ->
+    partial bit_or aggregation — is ONE whole-stage-codegen pipeline:
+    position values flow generator -> aggregate in registers without ever
+    materializing per-record arrays, and the only exchange carries
+    ~(ids + W longs) per record after map-side combine. Token-less records
+    survive as all-zero filters (null `_p` rows: every IF picks 0)."""
+    shape = cfg.shape
+    n_words = (shape.m + 63) >> 6
+    rows = exploded_token_rows(sharded_df, cfg, id_cols)
+    pos_rows = rows.select(
+        "shard", *id_cols,
+        F.explode_outer(F.expr(positions_array_sql(shape))).alias("_p"))
+    return pos_rows.groupBy("shard", *id_cols).agg(
+        *[F.expr(f"bit_or(if(_p div 64 = {w}, "
+                 f"shiftleft(1L, int(_p % 64)), 0L))").alias(f"_w{w}")
+          for w in range(n_words)])
 
 
 def filters_from_hash_batch(h1_lists, h2_lists, shape: Shape) -> np.ndarray:
