@@ -6,12 +6,16 @@ filter, content-address the key, dedup identical filters in the index,
 append the value to storage, update the gate. Here that becomes a 3-stage
 Spark pipeline (SURVEY §3.1):
 
-  1. **hash pass** (narrow, `mapInPandas`): tokenize each turn into
-     dimension tokens (role=…, tool=…, tok=…), OR the per-token masks into
-     one packed filter per turn — the inner k-hash loop is NumPy bitset
-     arithmetic on Arrow batches, no per-row Python;
-  2. **one shuffle** (`repartition(shard)`): co-locates each conversation's
-     turns; both downstream writes reuse it;
+  1. **hash pass**: tokenize each turn into dimension tokens (role=…,
+     tool=…, tok=…) and assemble its packed filter. Two backends:
+     "jvm" (default scale path) runs the ENTIRE k-hash loop inside
+     whole-stage codegen — explode(tokens) -> explode(k positions) ->
+     partial bit_or per word — because measured on this class of hardware
+     the streaming-NumPy alternative is memory-bandwidth-bound and cannot
+     scale across workers (see mdbloom/spark/jvm_hash.py); "python" keeps
+     the north-star-literal NumPy kernel inside mapInPandas;
+  2. **one repartition** (`repartition(shard)`): co-locates each
+     conversation's turns; every downstream artifact reuses it;
   3. **per-shard artifacts** (`applyInPandas`): bit-sliced slab chunks
      (FlatBloofi transposed layout, `FlatBloofi.java:55-60`), a slot map
      (content-addressed keys, slot = rank of key in shard), storage rows,
@@ -205,34 +209,19 @@ class BloomIndexWriter:
 
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
-            shape = cfg.shape
-            n_words = (shape.m + 63) >> 6
-            # filter words assembled entirely in whole-stage codegen (see
-            # jvm_hash): Python only repacks W scalar long columns into the
-            # canonical little-endian binary + md5 content key — O(record)
-            # work on compact rows, not O(token)
-            words = J.aggregated_filter_words(sharded, cfg, id_cols)
-
-            def pack_batches(iterator):
-                for pdf in iterator:
-                    if not len(pdf):
-                        continue
-                    packed = np.column_stack(
-                        [pdf[f"_w{w}"].to_numpy(dtype=np.int64)
-                         for w in range(n_words)]).view(np.uint64) \
-                        .astype(B.U64, copy=False)
-                    out = {
-                        "shard": pdf["shard"].to_numpy(),
-                        "key": B.content_keys(packed),
-                    }
-                    for c in id_cols:
-                        out[c] = pdf[c].to_numpy()
-                    out["filter"] = [packed[i].tobytes()
-                                     for i in range(len(pdf))]
-                    yield pd.DataFrame(out)
-
-            return words.mapInPandas(pack_batches,
-                                     schema=_filter_schema(df, id_cols))
+            n_words = (cfg.shape.m + 63) >> 6
+            # ZERO Python in the row path: the input is repartitioned by
+            # shard FIRST (the build's single wide exchange — hash(shard)
+            # satisfies every downstream clustering: the per-record
+            # aggregation, the slot-map window, the per-shard slab groups
+            # and the partitioned writes, so none of them exchange again),
+            # then filter words, the canonical little-endian binary and
+            # the md5 content key are all whole-stage-codegen expressions
+            words = J.aggregated_filter_words(
+                sharded.repartition(cfg.n_shards, "shard"), cfg, id_cols)
+            filt = F.expr(J.filter_binary_sql(n_words))
+            return words.select("shard", F.md5(filt).alias("key"),
+                                *id_cols, filt.alias("filter"))
 
         def hash_batches(iterator):
             for pdf in iterator:
@@ -463,10 +452,14 @@ class BloomIndexWriter:
 
         # ONE wide exchange: everything downstream is per-shard local.
         # groupBy("shard") on a DataFrame already hash-partitioned by shard
-        # reuses this partitioning (no further exchange).
-        filters = (self.filters_df(src)
-                   .repartition(cfg.n_shards, "shard")
-                   .persist())
+        # reuses this partitioning (no further exchange). The jvm backend
+        # repartitions internally (before its aggregation) so its output
+        # already carries hash(shard); the python backend's mapInPandas
+        # does not expose partitioning, so repartition its output here.
+        f = self.filters_df(src)
+        if cfg.hash_backend != "jvm":
+            f = f.repartition(cfg.n_shards, "shard")
+        filters = f.persist()
         try:
             n_rows = filters.count()  # materialize once; reused below
 

@@ -96,6 +96,33 @@ def token_hash_cols(toks: Column) -> tuple[Column, Column]:
 # filter — same semantics as putting an empty hasher).
 
 
+_BSWAP_M8 = 71777214294589695     # 0x00FF00FF00FF00FF
+_BSWAP_M16 = 281470681808895      # 0x0000FFFF0000FFFF
+
+
+def _bswap64_sql(col: str) -> str:
+    """SQL byte-swap of a long (3 mask/shift rounds, pure codegen, no
+    allocations): cast(bswap(w) as binary) == the word's LITTLE-endian
+    bytes, i.e. the engine's canonical filter byte order (mdbloom.bits)."""
+    a = (f"(shiftleft(({col}) & {_BSWAP_M8}, 8) | "
+         f"(shiftrightunsigned({col}, 8) & {_BSWAP_M8}))")
+    b = (f"(shiftleft({a} & {_BSWAP_M16}, 16) | "
+         f"(shiftrightunsigned({a}, 16) & {_BSWAP_M16}))")
+    return f"(shiftleft({b}, 32) | shiftrightunsigned({b}, 32))"
+
+
+def filter_binary_sql(n_words: int) -> str:
+    """SQL expression assembling the canonical little-endian packed filter
+    binary from the `_w0.._w{W-1}` word columns — so the content key
+    (md5 of these bytes) and the at-rest `filter` column are produced
+    entirely JVM-side, byte-identical to bits.to_bytes/content_key.
+    (hex/unhex instead of cast-to-binary: ANSI mode forbids the latter;
+    hex of the byte-swapped word is exactly the little-endian byte hex.)"""
+    parts = ", ".join(f"lpad(hex({_bswap64_sql(f'_w{w}')}), 16, '0')"
+                      for w in range(n_words))
+    return f"unhex(concat({parts}))"
+
+
 def positions_array_sql(shape: Shape) -> str:
     """SQL `array<long>` of the k bit positions of token column `_t` via
     enhanced double hashing — identical arithmetic to

@@ -50,8 +50,7 @@ t("storage_write", lambda: (filters.select("shard", "key", *cfg.id_columns)
     .write.mode("overwrite").partitionBy("shard")
     .parquet(os.path.join(idx, "storage"))))
 kf = filters.select("shard", "key", "filter")
-t("slotmap_write", lambda: (kf.groupBy("shard")
-    .applyInPandas(w._slotmap_udf(), schema="shard int, slot long, key string")
+t("slotmap_write", lambda: (w.slotmap_df(kf)
     .write.mode("overwrite").partitionBy("shard")
     .parquet(os.path.join(idx, "slotmap"))))
 from mdbloom.spark.build import SLAB_SCHEMA, MANIFEST_SCHEMA
