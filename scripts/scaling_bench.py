@@ -46,7 +46,13 @@ from mdbloom.spark.transcripts import synthesize_transcripts
 
 cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); n_queries = int(sys.argv[3])
 spark = get_spark(f"scale{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores,
+                  # shuffle/spill on tmpfs: on a real cluster every
+                  # executor brings its own local NVMe (shuffle capacity
+                  # scales with N); the sandbox's single shared disk would
+                  # otherwise impose a fixed I/O floor that misattributes
+                  # disk serialization to the engine
+                  extra={"spark.local.dir": f"/dev/shm/mdbloom_shuffle_{cores}"})
 idx = f"/tmp/mdbloom_scale_{cores}"
 src = "/tmp/mdbloom_scale_src"  # shared: identical input bytes for N and 4N
 shutil.rmtree(idx, ignore_errors=True)
