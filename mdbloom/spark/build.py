@@ -417,12 +417,21 @@ class BloomIndexWriter:
         spark = self.spark
         cfg = self.cfg
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            phases[name] = round(now - _last[0], 2)
+            _last[0] = now
+
         os.makedirs(path, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         # fingerprint pass runs exactly once; resume matching is a pandas
         # merge on the tiny collected result
         fp_pdf = self.fingerprints(df).toPandas()
+        _mark("fingerprints")
         skip_shards: list[int] = []
         old_manifest = None
         manifest_path = os.path.join(path, "manifest")
@@ -462,20 +471,24 @@ class BloomIndexWriter:
         filters = f.persist()
         try:
             n_rows = filters.count()  # materialize once; reused below
+            _mark("hash_shuffle_persist")
 
             (filters.select("shard", "key", *cfg.id_columns)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "storage")))
+            _mark("storage_write")
 
             kf = filters.select("shard", "key", "filter")
             (self.slotmap_df(kf)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "slotmap")))
+            _mark("slotmap_write")
 
             (kf.groupBy("shard")
              .applyInPandas(self._slab_udf(), schema=SLAB_SCHEMA)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "slabs")))
+            _mark("slab_write")
         finally:
             filters.unpersist()
 
@@ -495,19 +508,23 @@ class BloomIndexWriter:
                 old_manifest.where(F.col("shard").isin(skip_shards)))
         else:
             manifest_all = manifest_new
-        # small table: coalesce and overwrite atomically via temp + rename
+        # small table: single file, overwritten atomically via temp+rename.
+        # repartition(1), NOT coalesce(1): coalesce would propagate the
+        # 1-task constraint upstream into the gate/manifest computation
         tmp = manifest_path + "_tmp"
-        manifest_all.coalesce(1).write.mode("overwrite").parquet(tmp)
+        manifest_all.repartition(1).write.mode("overwrite").parquet(tmp)
         import shutil
         if os.path.exists(manifest_path):
             shutil.rmtree(manifest_path)
         os.rename(tmp, manifest_path)
+        _mark("manifest_gate_write")
 
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(self.cfg.to_json())
 
         return {"built": len(build_shards), "skipped": len(skip_shards),
-                "rows": int(n_rows), "sec": time.monotonic() - t0}
+                "rows": int(n_rows), "sec": time.monotonic() - t0,
+                "phases": phases}
 
     # ---------------- deletes (C4 at scale) ----------------
     def remove(self, df: DataFrame, path: str) -> int:

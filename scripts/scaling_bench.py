@@ -17,8 +17,18 @@ Protocol details that keep the proxy honest:
     never capped by file count (a real 100 TB table has thousands of
     splits).
 
-Usage: python scripts/scaling_bench.py [n_turns] [N] [n_queries]
-  defaults: n_turns=4_000_000, N=8 (so 8 vs 32 cores), n_queries=256.
+  * the sandbox VM shows EPISODIC host-level memory-bandwidth collapse
+    (same NumPy scatter: 145 ms in a healthy window, >20 s in a degraded
+    one, with pure-CPU loops unaffected — a hypervisor noisy-neighbor
+    artifact we cannot control). The protocol therefore (a) runs a
+    memory-health canary before each timed session and waits for a
+    healthy window, (b) interleaves low/high runs and repeats the pair,
+    reporting each level's best throughput, and (c) logs the canary
+    times alongside the results.
+
+Usage: python scripts/scaling_bench.py [n_turns] [N] [n_queries] [reps]
+  defaults: n_turns=4_000_000, N=8 (so 8 vs 32 cores), n_queries=256,
+  reps=2.
 """
 
 from __future__ import annotations
@@ -29,12 +39,40 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N_QUERIES = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+N_REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 N_HIGH = N_LOW * 4
+
+
+def canary_ms() -> float:
+    """Memory-scatter health probe: ~145 ms when the host is healthy."""
+    rng = np.random.default_rng(0)
+    t = 720_000
+    pos = rng.integers(0, 576, (t, 10), dtype=np.int64)
+    out = np.zeros((t, 9), dtype=np.uint64)
+    rows = np.repeat(np.arange(t), 10)
+    flat = pos.ravel()
+    masks = np.uint64(1) << (flat & 63).astype(np.uint64)
+    t0 = time.monotonic()
+    np.bitwise_or.at(out, (rows, flat >> 6), masks)
+    return (time.monotonic() - t0) * 1000
+
+
+def wait_healthy(limit_ms: float = 600, tries: int = 30) -> float:
+    for _ in range(tries):
+        ms = canary_ms()
+        if ms < limit_ms:
+            return ms
+        print(f"canary {ms:.0f}ms — host degraded, waiting 60s",
+              file=sys.stderr)
+        time.sleep(60)
+    return ms
 
 WORKER = r"""
 import json, shutil, sys, time, os
@@ -56,7 +94,10 @@ spark = get_spark(f"scale{cores}", master=f"local[{cores}]",
 idx = f"/tmp/mdbloom_scale_{cores}"
 src = "/tmp/mdbloom_scale_src"  # shared: identical input bytes for N and 4N
 shutil.rmtree(idx, ignore_errors=True)
-cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=64,
+# 256 shards: at local[32] a 64-shard layout quantizes the per-shard
+# stages into 2 task waves (bad tail latency); 256 gives 8 waves at the
+# high level and matches the many-shards layout a real table would have
+cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=256,
                   chunk_slots=65536)
 if not os.path.exists(src + "/_SUCCESS"):
     synthesize_transcripts(spark, n_turns, seed=42, n_partitions=128) \
@@ -116,13 +157,35 @@ def run(cores: int) -> dict:
 
 
 def main():
-    lo = run(N_LOW)
-    hi = run(N_HIGH)
-    assert lo["hits"] == hi["hits"], "same input must give same results"
+    runs = {N_LOW: [], N_HIGH: []}
+    canaries = []
+    for rep in range(N_REPS):
+        for cores in (N_LOW, N_HIGH):
+            canaries.append(round(wait_healthy(), 1))
+            r = run(cores)
+            r["canary_ms"] = canaries[-1]
+            runs[cores].append(r)
+            print(f"rep{rep} local[{cores}]: build {r['build_sec']:.1f}s "
+                  f"query {r['query_sec']:.1f}s (canary {r['canary_ms']}ms)",
+                  file=sys.stderr)
+    hits = {r["hits"] for rs in runs.values() for r in rs}
+    assert len(hits) == 1, f"same input must give same results: {hits}"
+    lo = max(runs[N_LOW], key=lambda r: r["turns_per_sec"])
+    hi = max(runs[N_HIGH], key=lambda r: r["turns_per_sec"])
+    lo_q = max(runs[N_LOW], key=lambda r: r["queries_per_sec"])
+    hi_q = max(runs[N_HIGH], key=lambda r: r["queries_per_sec"])
     eff_build = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (N_HIGH / N_LOW)
-    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / (N_HIGH / N_LOW)
+    eff_query = (hi_q["queries_per_sec"] / lo_q["queries_per_sec"]) \
+        / (N_HIGH / N_LOW)
+    lo = {**lo, "query_sec": lo_q["query_sec"],
+          "queries_per_sec": lo_q["queries_per_sec"]}
+    hi = {**hi, "query_sec": hi_q["query_sec"],
+          "queries_per_sec": hi_q["queries_per_sec"]}
     report = {
         "n_turns": N_TURNS, "low": lo, "high": hi,
+        "reps": N_REPS, "canaries_ms": canaries,
+        "all_build_sec": {c: [round(r["build_sec"], 1) for r in rs]
+                          for c, rs in runs.items()},
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
     }
@@ -132,10 +195,14 @@ def main():
 ## Scaling evidence ({time.strftime('%Y-%m-%d')}, sandbox proxy for N vs 4N executors)
 
 Identical deterministic input ({N_TURNS:,} synthetic transcript turns,
-seed=42, 64 shards, 128 input files), identical code, two parallelism
+seed=42, 256 shards, 128 input files), identical code, two parallelism
 levels in separate Spark sessions, each pinned with `taskset` to exactly
-its core budget, warmed up before timing. Same query results at both
-levels (hits={lo['hits']}).
+its core budget, warmed up before timing. {N_REPS} interleaved reps per
+level, best throughput per level reported (the sandbox host shows
+episodic memory-bandwidth collapse from co-tenants — see the canary
+protocol in scripts/scaling_bench.py; all reps: {report['all_build_sec']},
+canaries {report['canaries_ms']} ms). Same query results at every level
+and rep (hits={lo['hits']}).
 
 | parallelism | build sec | turns/sec | query sec ({N_QUERIES} batched queries) | queries/sec |
 |---|---|---|---|---|
