@@ -185,6 +185,8 @@ class BloomIndexReader:
             return slotmap
         m = self.shape.m
         qbits_l = qbits.tolist()
+        slabs = self.slabs().where(F.col("shard").isin(shards))
+        with_keys = "keys" in slabs.columns
 
         def scan(iterator):
             qb = np.asarray(qbits_l, dtype=np.int64)
@@ -195,16 +197,23 @@ class BloomIndexReader:
                         .reshape(m, -1)
                     hits = K.query_slab(slab, qb, int(row["n_slots"]))
                     if hits.size:
-                        outs.append(pd.DataFrame({
+                        out = {
                             "shard": int(row["shard"]),
                             "slot": hits + int(row["slot_lo"]),
-                        }))
+                        }
+                        if with_keys:
+                            out["key"] = np.asarray(row["keys"],
+                                                    dtype=object)[hits]
+                        outs.append(pd.DataFrame(out))
                 if outs:
                     yield pd.concat(outs)
 
-        hits_df = (self.slabs()
-                   .where(F.col("shard").isin(shards))
-                   .mapInPandas(scan, schema=HIT_SCHEMA))
+        if with_keys:
+            # chunk rows embed their slot keys: the scan resolves
+            # slot -> key locally, no slotmap shuffle/join at all
+            return slabs.mapInPandas(
+                scan, schema=HIT_SCHEMA + ", key string")
+        hits_df = slabs.mapInPandas(scan, schema=HIT_SCHEMA)
         return hits_df.join(slotmap.where(F.col("shard").isin(shards)),
                             ["shard", "slot"], "inner")
 
@@ -246,7 +255,9 @@ class BloomIndexReader:
         if not plans:
             return all_part
         m = self.shape.m
-        plans_l = {k: (v[0], sorted(v[1])) for k, v in plans.items()}
+        plans_l = {k: (v[0], v[1]) for k, v in plans.items()}
+        slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
+        with_keys = "keys" in slabs.columns
 
         def scan(iterator):
             for pdf in iterator:
@@ -254,32 +265,42 @@ class BloomIndexReader:
                 for _, row in pdf.iterrows():
                     shard = int(row["shard"])
                     slab = None
+                    keys_arr = None
                     for name, (qb, shards) in plans_l.items():
                         if shard not in shards:
                             continue
                         if slab is None:
                             slab = np.frombuffer(row["slab"], dtype=B.U64) \
                                 .reshape(m, -1)
+                            if with_keys:
+                                keys_arr = np.asarray(row["keys"],
+                                                      dtype=object)
                         hits = K.query_slab(slab,
                                             np.asarray(qb, dtype=np.int64),
                                             int(row["n_slots"]))
                         if hits.size:
-                            outs.append(pd.DataFrame({
+                            out = {
                                 "query": name,
                                 "shard": shard,
                                 "slot": hits + int(row["slot_lo"]),
-                            }))
+                            }
+                            if with_keys:
+                                out["key"] = keys_arr[hits]
+                            outs.append(pd.DataFrame(out))
                 if outs:
                     yield pd.concat(outs)
 
-        hits_df = (self.slabs()
-                   .where(F.col("shard").isin(sorted(all_shards)))
-                   .mapInPandas(scan,
-                                schema="query string, shard int, slot long"))
-        joined = hits_df.join(
-            slotmap.where(F.col("shard").isin(sorted(all_shards))),
-            ["shard", "slot"], "inner").select("query", "shard", "slot",
-                                               "key")
+        if with_keys:
+            joined = slabs.mapInPandas(
+                scan, schema="query string, shard int, slot long, "
+                             "key string")
+        else:
+            hits_df = slabs.mapInPandas(
+                scan, schema="query string, shard int, slot long")
+            joined = hits_df.join(
+                slotmap.where(F.col("shard").isin(sorted(all_shards))),
+                ["shard", "slot"], "inner").select("query", "shard", "slot",
+                                                   "key")
         return joined.unionByName(all_part) if match_all else joined
 
     def search_many(self, queries: dict) -> DataFrame:
