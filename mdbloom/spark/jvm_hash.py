@@ -1,12 +1,12 @@
 """JVM-codegen filter assembly — the scale path for the build hot loop.
 
 The NumPy backend (mdbloom.hashing) is faithful to the north star's
-"k-hash loop in NumPy inside pandas UDFs", but moving record text through
-Arrow into Python workers is memory-bandwidth-bound: measured on this box,
-a pure-JVM explode+hash pass over the same 1M-turn corpus runs ~10x faster
-and keeps scaling with cores. This module expresses the ENTIRE per-record
-filter build as Spark SQL higher-order functions, fully inside whole-stage
-codegen:
+"k-hash loop in NumPy inside pandas UDFs", but streaming position/mask
+math through Python workers is memory-bandwidth-bound: measured on this
+box, 32 parallel workers achieve LOWER aggregate token throughput than
+one. This module therefore expresses the ENTIRE per-record filter build
+as scalar Spark SQL expressions inside whole-stage codegen
+(:func:`aggregated_filter_words`):
 
     tokens   = array_distinct(tagged tokens + 'tok='-prefixed text words)
     (h1,h2)  = xxhash64(t), xxhash64(t, 1)          # two independent
@@ -15,13 +15,15 @@ codegen:
     pos_i    = pmod(a + i*b + tet_i, m)   i < k      # enhanced double
                                                      # hashing (same scheme
                                                      # as mdbloom.hashing)
-    word_w   = OR over positions p of (1 << (p & 63)) when p >> 6 == w
-    filter   = concat(cast(word_w as binary)...)     # canonical big-endian
+    word_w   = bit_or over tokens of
+               OR_i IF(pos_i div 64 = w, 1L << (pos_i % 64), 0L)
+    filter   = unhex(hex(bswap(word_w))...)          # canonical little-
+                                                     # endian packed bytes
     key      = md5(filter)                           # content address
 
-No strings, no Python, nothing but the final packed words leave the JVM.
-The driver-side mirror (:class:`JvmTokenHasher`) reproduces positions and
-content keys bit-exactly for query planning.
+No per-row Python anywhere; nothing but the final packed rows leave the
+JVM. The driver-side mirror (:class:`JvmTokenHasher`) reproduces
+positions and content keys bit-exactly for query planning.
 """
 
 from __future__ import annotations
@@ -62,14 +64,6 @@ def tokens_col(cfg) -> Column:
     for p in parts[1:]:
         toks = F.concat(toks, p)
     return F.array_distinct(toks)
-
-
-def token_hash_cols(toks: Column) -> tuple[Column, Column]:
-    """Two array<long> columns of the per-token 64-bit hash pair (legacy
-    array-shipping path; the scale path is :func:`aggregated_filter_words`
-    below, which never materializes per-record arrays at all)."""
-    return (F.transform(toks, lambda t: F.xxhash64(t)),
-            F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))))
 
 
 # ------------------------------------------------------- full-JVM assembly
@@ -191,28 +185,6 @@ def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
         *[F.expr(f"bit_or(if(_p div 64 = {w}, "
                  f"shiftleft(1L, int(_p % 64)), 0L))").alias(f"_w{w}")
           for w in range(n_words)])
-
-
-def filters_from_hash_batch(h1_lists, h2_lists, shape: Shape) -> np.ndarray:
-    """(N,) sequences of per-record hash arrays -> (N, W) packed filters.
-    Pure vectorized NumPy: enhanced-double-hashing positions for every
-    token, per-token masks, one OR-scatter per record."""
-    from mdbloom import bits as B
-    n = len(h1_lists)
-    out = B.zeros(shape.m, n)
-    lens = np.fromiter((len(x) for x in h1_lists), dtype=np.int64, count=n)
-    total = int(lens.sum())
-    if total == 0:
-        return out
-    flat1 = np.concatenate([np.asarray(x, dtype=np.int64)
-                            for x in h1_lists if len(x)])
-    flat2 = np.concatenate([np.asarray(x, dtype=np.int64)
-                            for x in h2_lists if len(x)])
-    pos = gate_positions_batch(flat1, flat2, shape)          # (T, k)
-    masks = B.masks_from_positions(pos, shape.m)             # (T, W)
-    rows = np.repeat(np.arange(n), lens)
-    np.bitwise_or.at(out, rows, masks)
-    return out
 
 
 # ---------------------------------------------------------------- driver mirror
