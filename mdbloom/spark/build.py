@@ -59,7 +59,7 @@ def _filter_schema(df, id_columns) -> str:
     ids = ", ".join(f"`{c}` {types[c]}" for c in id_columns)
     return f"shard int, key string, {ids}, filter binary"
 SLAB_SCHEMA = ("shard int, chunk int, slot_lo long, n_slots int, "
-               "slab binary, keys array<string>, build_ms double")
+               "slab binary, keys_blob binary, build_ms double")
 MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
                    "gate binary, build_ms double")
 
@@ -342,12 +342,15 @@ class BloomIndexWriter:
         dropDuplicates(shard,key) exchange. Slot order = sorted key order
         (deterministic, content-addressed).
 
-        Each chunk row embeds its slots' content keys (`keys[i]` = key of
-        slot `slot_lo + i`) so the containment scan can emit keys
-        DIRECTLY — search needs no (shard, slot) join against the slot
-        map, cutting one multi-million-row shuffle out of every query
-        batch. The standalone slotmap table remains for exact-get and as
-        the enumerable index surface."""
+        Each chunk row embeds its slots' content keys as ONE fixed-width
+        binary blob (16 raw md5 bytes per slot, slot order) so the
+        containment scan can emit keys DIRECTLY — search needs no
+        (shard, slot) join against the slot map, cutting one
+        multi-million-row shuffle out of every query batch. A single
+        blob (not array<string>) keeps the Arrow->pandas conversion to
+        one object per chunk instead of one per slot; only HIT slots are
+        ever hex-decoded. The standalone slotmap table remains for
+        exact-get and as the enumerable index surface."""
         cfg = self.cfg
         shape = cfg.shape
         chunk_slots = cfg.chunk_slots
@@ -362,16 +365,16 @@ class BloomIndexWriter:
                 if len(raw) else B.zeros(shape.m, 0)
             n = filters.shape[0]
             rows = []
-            keys = pdf["key"].to_numpy()
+            keys_raw = bytes.fromhex("".join(pdf["key"])) if n else b""
             for lo in range(0, n, chunk_slots):
                 sub = filters[lo:lo + chunk_slots]
                 slab = K.build_slab(sub, shape.m)
                 rows.append((shard, lo // chunk_slots, lo, sub.shape[0],
                              B.to_bytes(slab),
-                             keys[lo:lo + chunk_slots].tolist(), 0.0))
+                             keys_raw[lo * 16:(lo + chunk_slots) * 16], 0.0))
             ms = (time.monotonic() - t0) * 1000.0
             out = pd.DataFrame(rows, columns=["shard", "chunk", "slot_lo",
-                                              "n_slots", "slab", "keys",
+                                              "n_slots", "slab", "keys_blob",
                                               "build_ms"])
             if len(out):
                 out["build_ms"] = ms / len(out)

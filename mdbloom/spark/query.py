@@ -186,7 +186,7 @@ class BloomIndexReader:
         m = self.shape.m
         qbits_l = qbits.tolist()
         slabs = self.slabs().where(F.col("shard").isin(shards))
-        with_keys = "keys" in slabs.columns
+        with_keys = "keys_blob" in slabs.columns
 
         def scan(iterator):
             qb = np.asarray(qbits_l, dtype=np.int64)
@@ -202,15 +202,16 @@ class BloomIndexReader:
                             "slot": hits + int(row["slot_lo"]),
                         }
                         if with_keys:
-                            out["key"] = np.asarray(row["keys"],
-                                                    dtype=object)[hits]
+                            blob = row["keys_blob"]
+                            out["key"] = [blob[i * 16:i * 16 + 16].hex()
+                                          for i in hits]
                         outs.append(pd.DataFrame(out))
                 if outs:
                     yield pd.concat(outs)
 
         if with_keys:
-            # chunk rows embed their slot keys: the scan resolves
-            # slot -> key locally, no slotmap shuffle/join at all
+            # chunk rows embed their slot keys (one fixed-width blob):
+            # the scan resolves slot -> key locally, no slotmap join
             return slabs.mapInPandas(
                 scan, schema=HIT_SCHEMA + ", key string")
         hits_df = slabs.mapInPandas(scan, schema=HIT_SCHEMA)
@@ -257,7 +258,7 @@ class BloomIndexReader:
         m = self.shape.m
         plans_l = {k: (v[0], v[1]) for k, v in plans.items()}
         slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
-        with_keys = "keys" in slabs.columns
+        with_keys = "keys_blob" in slabs.columns
 
         def scan(iterator):
             for pdf in iterator:
@@ -273,8 +274,7 @@ class BloomIndexReader:
                             slab = np.frombuffer(row["slab"], dtype=B.U64) \
                                 .reshape(m, -1)
                             if with_keys:
-                                keys_arr = np.asarray(row["keys"],
-                                                      dtype=object)
+                                keys_arr = row["keys_blob"]
                         hits = K.query_slab(slab,
                                             np.asarray(qb, dtype=np.int64),
                                             int(row["n_slots"]))
@@ -285,7 +285,8 @@ class BloomIndexReader:
                                 "slot": hits + int(row["slot_lo"]),
                             }
                             if with_keys:
-                                out["key"] = keys_arr[hits]
+                                out["key"] = [keys_arr[i * 16:i * 16 + 16]
+                                              .hex() for i in hits]
                             outs.append(pd.DataFrame(out))
                 if outs:
                     yield pd.concat(outs)
