@@ -17,7 +17,7 @@ for i in $(seq 1 "$ATTEMPTS"); do
 import json, sys
 try:
     raw = open(f"/tmp/scaling_hunt_{sys.argv[1]}.json").read()
-    d = json.loads(raw[raw.index("{"):])
+    d, _ = json.JSONDecoder().raw_decode(raw[raw.index("{"):])
     print(int(d["low"]["build_sec"]))
 except Exception:
     print(99999)
