@@ -305,16 +305,23 @@ class BloomIndexReader:
         return joined.unionByName(all_part) if match_all else joined
 
     def search_many(self, queries: dict) -> DataFrame:
-        """Batched search -> storage rows tagged by query name."""
+        """Batched search -> storage rows tagged by query name.
+
+        shuffle_hash hint: both join sides are millions of narrow rows for
+        broad query batches — a hash join skips the two full sorts an SMJ
+        would pay (AQE still downgrades to broadcast when the key side is
+        tiny)."""
         keys = self.search_keys_many(queries).select("query", "shard", "key")
-        return self.storage().join(keys, ["shard", "key"], "inner")
+        return self.storage().join(keys.hint("shuffle_hash"),
+                                   ["shard", "key"], "inner")
 
     def search(self, tokens) -> DataFrame:
         """Containment search -> storage rows (shard, key, conv_id,
         turn_idx): values whose filter has all query bits (may include
         Bloom false positives at the Shape's designed rate)."""
         keys = self.search_keys(tokens).select("shard", "key")
-        return self.storage().join(keys, ["shard", "key"], "left_semi")
+        return self.storage().join(keys.hint("shuffle_hash"),
+                                   ["shard", "key"], "left_semi")
 
     def search_rows(self, tokens, source_df: DataFrame) -> DataFrame:
         """Search and join back to the original table on the id columns."""
