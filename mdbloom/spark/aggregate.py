@@ -70,26 +70,54 @@ def sketch_all(df: DataFrame, col: str, factory: Callable,
 
 def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
                   factory: Callable,
-                  estimate: Callable | None = None) -> DataFrame:
+                  estimate: Callable | None = None,
+                  from_bytes: Callable | None = None) -> DataFrame:
     """Per-group sketch: (key..., state binary[, estimate double]).
 
-    One shuffle on the group keys; state building is vectorized per group.
-    For skewed keys enable AQE skew handling (on by default in
-    mdbloom.spark.session)."""
+    TWO-PHASE (the classic partial/final UDAF split): phase 1 builds one
+    small binary state per (key, Arrow batch) inside ``mapInPandas`` —
+    map-side combine, the raw rows never cross an executor as one group;
+    phase 2 shuffles only those states and merges them per key inside
+    ``applyInPandas``. A key's merge group holds at most
+    (#input partitions x batches/partition) states of ~KB each, so a hot
+    key (5 event types over 100 TB) costs a bounded merge, never an
+    all-rows-of-the-key pandas frame. Correct for any partitioning because
+    every sketch's merge is associative + order-independent
+    (tests/test_sketches.py)."""
+    if from_bytes is None:
+        from_bytes = type(factory()).from_bytes
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = [f"`{k}` {types[k]}" for k in key_cols]
+    partial_schema = ", ".join(key_schema + ["state binary"])
     out_schema = ", ".join(
-        [f"`{k}` {types[k]}" for k in key_cols] + ["state binary"]
+        key_schema + ["state binary"]
         + (["estimate double"] if estimate else []))
 
-    def per_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = factory().update(pdf[col].dropna().to_numpy())
+    def partial(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            rows = []
+            for keys, grp in pdf.groupby(key_cols, dropna=False, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                sk = factory().update(grp[col].dropna().to_numpy())
+                rows.append((*keys, sk.to_bytes()))
+            yield pd.DataFrame(rows, columns=[*key_cols, "state"])
+
+    partials = df.select(*key_cols, col).mapInPandas(
+        partial, schema=partial_schema)
+
+    def final(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = tree_merge(list(pdf["state"]), from_bytes)
         row = dict(zip(key_cols, keys))
         row["state"] = sk.to_bytes()
         if estimate:
             row["estimate"] = float(estimate(sk))
         return pd.DataFrame([row])
 
-    return df.groupBy(*key_cols).applyInPandas(per_group, schema=out_schema)
+    return partials.groupBy(*key_cols).applyInPandas(final,
+                                                     schema=out_schema)
 
 
 # ---------------- convenience estimators ----------------

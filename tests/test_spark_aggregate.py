@@ -76,6 +76,40 @@ def test_bloom_of_membership(spark, events):
     assert sk.contains(absent).mean() <= 0.01
 
 
+def test_sketch_by_key_two_phase_parity_and_plan(spark, events):
+    """VERDICT r1 item 1: sketch_by_key must be a partial/final two-phase
+    aggregation. (a) per-key state == sketch_all over that key's rows
+    (byte-identical, HLL register max-merge is order-independent);
+    (b) the plan's group-merge stage consumes only partial STATES, never
+    the raw rows — no single-group applyInPandas OOM cliff."""
+    out = sketch_by_key(events, ["event_type"], "user_id",
+                        lambda: HllSketch(12))
+    per_key = {r.event_type: bytes(r.state) for r in out.collect()}
+    for et, state in sorted(per_key.items())[:2]:
+        solo = sketch_all(events.where(F.col("event_type") == et),
+                          "user_id", lambda: HllSketch(12),
+                          HllSketch.from_bytes)
+        assert state == solo.to_bytes()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the groupBy merge (FlatMapGroupsInPandas) must sit ABOVE the
+    # mapInPandas partial stage, i.e. raw-row operators (scan) feed
+    # MapInPandas first
+    assert "FlatMapGroupsInPandas" in plan and "MapInPandas" in plan
+    assert plan.index("FlatMapGroupsInPandas") < plan.index("MapInPandas")
+
+
+def test_sketch_by_key_partitioning_invariant(spark, events):
+    a = sketch_by_key(events.repartition(3), ["event_type"], "user_id",
+                      lambda: HllSketch(12),
+                      estimate=lambda s: s.estimate())
+    b = sketch_by_key(events.repartition(17), ["event_type"], "user_id",
+                      lambda: HllSketch(12),
+                      estimate=lambda s: s.estimate())
+    ra = {r.event_type: (bytes(r.state), r.estimate) for r in a.collect()}
+    rb = {r.event_type: (bytes(r.state), r.estimate) for r in b.collect()}
+    assert ra == rb
+
+
 def test_sketch_by_key_states_merge_to_global(spark, events):
     per_key = sketch_by_key(events, ["event_type"], "user_id",
                             lambda: HllSketch(12),

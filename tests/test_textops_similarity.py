@@ -133,6 +133,81 @@ def test_simhash_near_dups_exact_hamming(docs, spark):
     assert got_pairs == want
 
 
+def test_simhash_sql_backend_matches_driver_recompute(docs, spark):
+    """The all-JVM 64-bit SimHash (simhash64_sql) must equal a driver-side
+    md5 recompute, and the sql-backend near-dup pairs must be the exact
+    hamming<=3 pair set over those signatures (pigeonhole recall 1)."""
+    import hashlib
+    sig = T.simhash64_sql(docs).toPandas().set_index("doc_id")["simhash"]
+    pdf = docs.toPandas()
+    for r in pdf.head(20).itertuples():
+        votes = np.zeros(64, dtype=np.int64)
+        for w in r.text.strip().split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want = 0
+        for b in range(64):
+            if votes[b] > 0:
+                want |= 1 << b
+        got = int(np.uint64(np.int64(sig[r.doc_id])))
+        assert got == want, f"doc {r.doc_id}"
+    got = T.simhash_near_dups(docs, max_hamming=3, backend="sql").toPandas()
+    vals = sig.to_numpy().astype(np.int64).astype(np.uint64)
+    ids = sig.index.to_numpy()
+    xor = vals[:, None] ^ vals[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor >>= np.uint64(1)
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    want_pairs = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == want_pairs
+
+
+def test_minhash_full_banding_equals_exact_pairs(docs, docs_pdf):
+    """bands=num_perm (1 row/band): a jaccard>=0.5 pair misses every band
+    with prob (1-s)^64 <= 2^-64 — so the verified output equals the exact
+    pair set (the q16 oracle-ability argument)."""
+    got = T.minhash_near_dups(docs, num_perm=64, bands=64, n=3,
+                              threshold=0.5).toPandas()
+    want = exact_jaccard_pairs(docs_pdf, 3, 0.5)
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k])
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_join(spark):
+    """VERDICT r1 finding #4: a ubiquitous shingle must not blow up the
+    self-join. Synthetic corpus: 200 docs all sharing one hot 3-gram
+    prefix plus unique tails -> uncapped join fans out ~200^2/2 pairs;
+    with max_shingle_df the hot shingles are dropped and only the two
+    planted real near-dups survive."""
+    rows = [(i, f"common hot prefix unique{i} tail{i} word{i} end{i}")
+            for i in range(200)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"),
+             (1001, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = T.ngram_jaccard_pairs(df, n=3, threshold=0.3,
+                                   max_shingle_df=50).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in capped.itertuples()}
+    assert (1000, 1001) in pairs
+    # the 200-doc hot cluster (joined only through capped-out shingles)
+    # contributes nothing
+    assert all(a >= 1000 for a, _ in pairs)
+    # and the candidate fan-out was bounded: count the joined pairs pre-
+    # threshold via the same capped shingle set
+    sh = T.shingles_df(df, 3)
+    keep = (sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= 50).select("shingle"))
+    shc = sh.join(keep, "shingle", "left_semi")
+    a, b = shc.alias("a"), shc.alias("b")
+    fanout = (a.join(b, "shingle")
+              .where(F.col("a.doc_id") < F.col("b.doc_id")).count())
+    assert fanout < 200  # vs ~19900 hot-cluster pairs uncapped
+
+
 # ---------------- embeddings ----------------
 
 def test_cosine_topk_matches_numpy(emb, emb_pdf):
