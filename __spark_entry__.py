@@ -70,7 +70,8 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
 
     cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=8,
                       chunk_slots=4096, tag_columns=("lang", "source"),
-                      text_column="text", id_columns=("doc_id",))
+                      text_column="text", id_columns=("doc_id",),
+                      payload_columns=("lang", "source"))
     key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, f"docs_idx_{key}")
     docs = _t(spark, sf_dir, "documents")
@@ -400,6 +401,21 @@ def q24_transcript_membership(spark, sf_dir):
     return entry(spark)
 
 
+def q25_bloom_get_payload(spark, sf_dir):
+    """Generic payload storage (the reference's opaque multimap value E,
+    `Container.java:171-221` / `Serde.java:20-24`): exact-get answered
+    ENTIRELY from the storage table — payload columns (lang, source)
+    come back without any join against the source documents. Oracle =
+    the same token-set equality as q15 plus the payload columns."""
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    row = docs.where(F.col("doc_id") == 0).head()
+    toks = [f"lang={row.lang}", f"source={row.source}"] + \
+        [f"tok={w}" for w in row.text.split()]
+    return (r.get(toks).select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -426,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_ann_lsh_topk": q22_ann_lsh_topk,
         "q23_multimodal_features": q23_multimodal_features,
         "q24_transcript_membership": q24_transcript_membership,
+        "q25_bloom_get_payload": q25_bloom_get_payload,
     }
 
 
@@ -645,6 +662,18 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains({_WORDS}, 'spark')
               AND list_contains({_WORDS}, 'window')
             ORDER BY doc_id
+        """,
+        "q25_bloom_get_payload": rf"""
+            WITH q AS (
+                SELECT lang, source,
+                       list_sort(list_distinct({_WORDS})) AS ws
+                FROM documents WHERE doc_id = 0)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d, q
+            WHERE d.lang = q.lang AND d.source = q.source
+              AND list_sort(list_distinct(regexp_split_to_array(
+                      trim(d.text), '\s+'))) = q.ws
+            ORDER BY d.doc_id
         """,
         # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
         # Bloom search (includes designed-rate false positives), q18/q20/

@@ -92,10 +92,21 @@ class IndexConfig:
     gate_m: int = 1 << 20
     gate_k: int = 4
     # dimension extraction: which columns become tagged tokens, and which
-    # column is whitespace-tokenized
+    # column is whitespace-tokenized.
     tag_columns: tuple = ("role", "tool")
     text_column: str = "text"
+    # CONTRACT: id_columns uniquely identify an input record (they are the
+    # stored value's identity, `Container<E>`'s E). The jvm backend
+    # aggregates per (shard, ids[, payload]) — rows sharing all id column
+    # values would be merged into one filter + one storage row; build()
+    # detects this and warns (python backend keeps one row per input row).
     id_columns: tuple = ("conv_id", "turn_idx")
+    # payload columns stored VERBATIM in the storage table (the reference
+    # multimap's opaque value payload, `Container.java:171-221` /
+    # `Serde.java:20-24`): search/get return them straight from storage,
+    # no re-join against the source table. Several values (rows) may share
+    # one filter/key — a true multimap key -> List<E>.
+    payload_columns: tuple = ()
     # "jvm": token hashing + filter assembly as Spark SQL higher-order
     # expressions (xxhash64 + enhanced double hashing, whole-stage codegen,
     # zero Python in the hot path) — the scale path. "python": md5-based
@@ -110,9 +121,17 @@ class IndexConfig:
         self.shape = Shape.from_np(self.n_per_record, self.probability)
         self.gate_shape = Shape.from_mk(self.gate_m, self.gate_k)
 
+    # on-disk artifact format, bumped on any layout change (r2: embedded
+    # keys_blob in slabs, key-carrying tombstones). build(resume=True)
+    # compares the FULL config.json — a version bump therefore forces a
+    # clean rebuild instead of mixing old/new-schema shard files
+    # (ADVICE r1: mixed-schema slabs dir after a format change).
+    FORMAT_VERSION = 2
+
     def to_json(self) -> str:
         import json
         return json.dumps({
+            "format_version": IndexConfig.FORMAT_VERSION,
             "n_per_record": self.n_per_record,
             "probability": self.probability,
             "n_shards": self.n_shards,
@@ -122,6 +141,7 @@ class IndexConfig:
             "tag_columns": list(self.tag_columns),
             "text_column": self.text_column,
             "id_columns": list(self.id_columns),
+            "payload_columns": list(self.payload_columns),
             "hash_backend": self.hash_backend,
             "shape": self.shape.to_dict(),
         })
@@ -137,6 +157,7 @@ class IndexConfig:
             tag_columns=tuple(d["tag_columns"]),
             text_column=d["text_column"],
             id_columns=tuple(d["id_columns"]),
+            payload_columns=tuple(d.get("payload_columns", ())),
             hash_backend=d.get("hash_backend", "python"))
         return cfg
 
@@ -197,9 +218,11 @@ class BloomIndexWriter:
         (see mdbloom.spark.jvm_hash) — zero Python, whole-stage codegen.
         hash_backend="python": md5+NumPy kernel inside mapInPandas."""
         cfg = self.cfg
-        cols = list(cfg.id_columns) + [c for c in cfg.tag_columns
-                                       if c in df.columns]
-        if cfg.text_column:
+        carry = list(cfg.id_columns) + [c for c in cfg.payload_columns
+                                        if c not in cfg.id_columns]
+        cols = carry + [c for c in cfg.tag_columns
+                        if c in df.columns and c not in carry]
+        if cfg.text_column and cfg.text_column not in cols:
             cols.append(cfg.text_column)
         sharded = df.select(*cols).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
@@ -216,12 +239,14 @@ class BloomIndexWriter:
             # aggregation, the slot-map window, the per-shard slab groups
             # and the partitioned writes, so none of them exchange again),
             # then filter words, the canonical little-endian binary and
-            # the md5 content key are all whole-stage-codegen expressions
+            # the md5 content key are all whole-stage-codegen expressions.
+            # Payload columns ride in the aggregation keys — functionally
+            # dependent on the (unique, see IndexConfig contract) ids.
             words = J.aggregated_filter_words(
-                sharded.repartition(cfg.n_shards, "shard"), cfg, id_cols)
+                sharded.repartition(cfg.n_shards, "shard"), cfg, carry)
             filt = F.expr(J.filter_binary_sql(n_words))
             return words.select("shard", F.md5(filt).alias("key"),
-                                *id_cols, filt.alias("filter"))
+                                *carry, filt.alias("filter"))
 
         def hash_batches(iterator):
             for pdf in iterator:
@@ -232,14 +257,14 @@ class BloomIndexWriter:
                     "shard": pdf["shard"].to_numpy(),
                     "key": B.content_keys(packed),
                 }
-                for c in id_cols:
+                for c in carry:
                     out[c] = pdf[c].to_numpy()
                 out["filter"] = [packed[i].tobytes()
                                  for i in range(len(pdf))]
                 yield pd.DataFrame(out)
 
         return sharded.mapInPandas(hash_batches,
-                                   schema=_filter_schema(df, id_cols))
+                                   schema=_filter_schema(df, carry))
 
     # ---------------- token gate ----------------
     def token_gate_df(self, df: DataFrame) -> DataFrame:
@@ -485,8 +510,23 @@ class BloomIndexWriter:
         try:
             n_rows = filters.count()  # materialize once; reused below
             _mark("hash_shuffle_persist")
+            if cfg.hash_backend == "jvm":
+                # the jvm backend aggregates per (shard, ids): input rows
+                # violating the unique-id contract (IndexConfig.id_columns)
+                # would silently merge — surface it (ADVICE r1)
+                n_input = int(fp_pdf.loc[
+                    fp_pdf["shard"].isin(build_shards), "n_turns"].sum())
+                if n_rows != n_input:
+                    import warnings
+                    warnings.warn(
+                        f"{n_input - n_rows} input rows share id columns "
+                        f"{cfg.id_columns} and were merged into single "
+                        "filters/storage rows; value_count will reflect "
+                        "merged rows (unique-id contract violation)")
 
-            (filters.select("shard", "key", *cfg.id_columns)
+            storage_cols = list(cfg.id_columns) + [
+                c for c in cfg.payload_columns if c not in cfg.id_columns]
+            (filters.select("shard", "key", *storage_cols)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(path, "storage")))
             _mark("storage_write")
@@ -540,27 +580,80 @@ class BloomIndexWriter:
                 "phases": phases}
 
     # ---------------- deletes (C4 at scale) ----------------
-    def remove(self, df: DataFrame, path: str) -> int:
-        """Distributed `remove` (`ContainerImpl.java:134-153` semantics at
-        scale): delete the given records (matched on the id columns).
+    #
+    # Mutating immutable per-shard artifacts in place would reintroduce
+    # the reference's read-modify-write races (`IgniteStorage.java:57-66`,
+    # SURVEY §3.4), so deletes are APPEND-ONLY TOMBSTONES (SURVEY §7 hard
+    # part (b)): one row per deleted (shard, key, *id_columns) storage row
+    # in ``tombstones/``. Readers anti-join them (BloomIndexReader.storage)
+    # and value_count/filter_count subtract them live; a later
+    # :meth:`compact` folds them in. Containment search stays sound:
+    # tombstoned rows can only appear as Bloom-style false positives until
+    # compaction, and verified search already filters them exactly.
 
-        Mutating immutable per-shard artifacts in place would reintroduce
-        the reference's read-modify-write races (`IgniteStorage.java:57-66`,
-        SURVEY §3.4), so deletes are APPEND-ONLY TOMBSTONES
-        (SURVEY §7 hard part (b)): one row per deleted record id in
-        ``tombstones/``. Readers anti-join them (see
-        BloomIndexReader.storage); a later :meth:`compact` folds them in.
-        Containment search stays sound: tombstoned rows can only appear as
-        Bloom-style false positives until compaction, and verified search
-        already filters them exactly. Returns rows tombstoned."""
+    def remove(self, df: DataFrame, path: str) -> int:
+        """Bulk delete by record identity (the given rows' id columns) —
+        every stored value for those ids is tombstoned regardless of
+        filter. Returns rows tombstoned."""
+        from mdbloom.spark.query import BloomIndexReader
         cfg = self.cfg
-        ids = df.select(*cfg.id_columns).dropDuplicates(
-            list(cfg.id_columns)).withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
-                            F.lit(cfg.n_shards)).cast("int"))
-        out = os.path.join(path, "tombstones")
-        ids.write.mode("append").parquet(out)
-        return ids.count()
+        ids = df.select(*cfg.id_columns).dropDuplicates(list(cfg.id_columns))
+        # live view (already-tombstoned rows excluded -> idempotent,
+        # removing an absent value is a no-op like `InMemory.java:49-67`)
+        storage = BloomIndexReader(self.spark, path).storage()
+        doomed = (storage.join(F.broadcast(ids), list(cfg.id_columns),
+                               "left_semi")
+                  .select("shard", "key", *cfg.id_columns)
+                  .dropDuplicates(["shard", "key", *cfg.id_columns]))
+        return self._append_tombstones(doomed, path)
+
+    def _append_tombstones(self, doomed: DataFrame, path: str) -> int:
+        # materialize BEFORE writing: the plan reads tombstones/ (via the
+        # live storage view) which the write below appends to
+        doomed = doomed.localCheckpoint(eager=True)
+        n = doomed.count()
+        if n:
+            doomed.write.mode("append").parquet(
+                os.path.join(path, "tombstones"))
+        return n
+
+    def remove_exact(self, tokens, values_df: DataFrame, path: str) -> int:
+        """Reference `remove` parity (`ContainerImpl.java:134-153`): a
+        value is deleted ONLY when the stored filter is bit-for-bit equal
+        to the query filter (content-addressed: key equality,
+        `ContainerImpl.java:138-141` via `index.get`) AND the stored
+        value matches (`Storage.remove(idx, value)`,
+        `InMemory.java:49-67`). A matching filter with a different value,
+        or a matching value under a different filter, is a NO-OP — the
+        `removeTest` wrong-value contract (`ContainerImplTest.java:109-132`).
+
+        ``tokens``: the query dimensions (what the reference passes as
+        the Hasher); ``values_df``: rows carrying the id columns of the
+        values to remove. Returns rows tombstoned."""
+        from mdbloom.spark.query import BloomIndexReader
+        cfg = self.cfg
+        reader = BloomIndexReader(self.spark, path)
+        if reader._jvm_hasher is not None:
+            key = reader._jvm_hasher.content_key(list(tokens), reader.shape)
+            qbits = reader._jvm_hasher.positions(list(tokens), reader.shape)
+        else:
+            filt = reader._cache.filter_for(list(tokens))
+            key = B.content_key(filt)
+            qbits = np.flatnonzero(
+                B.unpack(filt, reader.shape.m)).astype(np.int64)
+        # gate short-circuit (`ContainerImpl.java:138`): definite miss ->
+        # no-op without touching storage
+        if not reader.prune_shards(qbits, tokens):
+            return 0
+        ids = values_df.select(*cfg.id_columns).dropDuplicates(
+            list(cfg.id_columns))
+        # live view -> idempotent; absent value = no-op (InMemory.java:49-67)
+        storage = reader.storage()
+        doomed = (storage.where(F.col("key") == key)
+                  .join(F.broadcast(ids), list(cfg.id_columns), "left_semi")
+                  .select("shard", "key", *cfg.id_columns)
+                  .dropDuplicates(["shard", "key", *cfg.id_columns]))
+        return self._append_tombstones(doomed, path)
 
     def compact(self, source_df: DataFrame, path: str) -> dict:
         """Fold tombstones in: rebuild from the surviving source rows via

@@ -144,9 +144,12 @@ def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
     The whole chain — explode(tokens) -> explode(k positions) ->
     partial bit_or aggregation — is ONE whole-stage-codegen pipeline:
     position values flow generator -> aggregate in registers without ever
-    materializing per-record arrays, and the only exchange carries
-    ~(ids + W longs) per record after map-side combine. Token-less records
-    survive as all-zero filters (null `_p` rows: every IF picks 0)."""
+    materializing per-record arrays. The caller (build.filters_df)
+    repartitions the RAW records by shard before this runs, so the wide
+    exchange carries input rows pre-explode and the aggregation itself is
+    exchange-free (hash(shard) already satisfies its clustering).
+    Token-less records survive as all-zero filters (null `_p` rows:
+    every IF picks 0)."""
     shape = cfg.shape
     m, k = shape.m, shape.k
     n_words = (m + 63) >> 6

@@ -44,7 +44,13 @@ def t(name, fn):
     return r
 
 fp = t("fingerprints_toPandas", lambda: w.fingerprints(tdf).toPandas())
-filters = w.filters_df(tdf).repartition(cfg.n_shards, "shard").persist()
+# mirror build(): the jvm backend repartitions internally (its wide
+# exchange happens pre-aggregation on raw records) — adding another
+# repartition here would profile a redundant second exchange
+filters = w.filters_df(tdf)
+if cfg.hash_backend != "jvm":
+    filters = filters.repartition(cfg.n_shards, "shard")
+filters = filters.persist()
 t("hash+shuffle+persist(count)", lambda: filters.count())
 t("storage_write", lambda: (filters.select("shard", "key", *cfg.id_columns)
     .write.mode("overwrite").partitionBy("shard")

@@ -69,6 +69,101 @@ def test_remove_hides_rows_and_compact_rebuilds(setup):
     assert a == b
 
 
+def _doc_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string")
+
+
+@pytest.fixture()
+def docs_setup(spark, tmp_path):
+    """Small documents index with a payload column and two values sharing
+    one filter (same token set) — the multimap shape remove_exact needs."""
+    path = str(tmp_path / "docs_idx")
+    rows = [
+        (1, "en", "hello world alpha"),
+        (2, "en", "hello world alpha"),     # same tokens as doc 1 -> same key
+        (3, "en", "completely different beta"),
+        (4, "es", "hola mundo gamma"),
+    ]
+    df = _doc_frame(spark, rows)
+    cfg = IndexConfig(n_per_record=8, probability=1e-3, n_shards=2,
+                      chunk_slots=64, tag_columns=("lang",),
+                      text_column="text", id_columns=("doc_id",),
+                      payload_columns=("text",))
+    w = BloomIndexWriter(spark, cfg)
+    w.build(df, path)
+    return spark, df, w, path
+
+
+def _toks(row):
+    return [f"lang={row[1]}"] + [f"tok={t}" for t in row[2].split()]
+
+
+def test_remove_exact_reference_semantics(docs_setup):
+    """Port of `removeTest` (`ContainerImplTest.java:109-132`) to the
+    distributed path: remove only on exact filter match AND value match;
+    wrong value or subset filter is a no-op; counts update live."""
+    spark, df, w, path = docs_setup
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 4
+    n_filters = r.filter_count()
+    assert n_filters == 3  # docs 1+2 share one content-addressed filter
+
+    one = _doc_frame(spark, [(1, "en", "hello world alpha")])
+
+    # wrong FILTER (subset of doc 1's dimensions) -> no-op
+    assert w.remove_exact(["lang=en", "tok=hello"], one, path) == 0
+    # wrong VALUE (doc 3 never stored under doc 1's filter) -> no-op
+    three = _doc_frame(spark, [(3, "en", "x")])
+    assert w.remove_exact(_toks((1, "en", "hello world alpha")),
+                          three, path) == 0
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 4 and r.filter_count() == n_filters
+
+    # exact filter + value: removes doc 1 ONLY; doc 2 (same filter)
+    # survives, so the filter entry itself survives
+    assert w.remove_exact(_toks((1, "en", "hello world alpha")),
+                          one, path) == 1
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 3
+    assert r.filter_count() == n_filters
+    got = sorted(x.doc_id for x in
+                 r.search(["tok=hello"]).select("doc_id").collect())
+    assert got == [2]
+    # payload column comes straight from storage (no source-table join)
+    assert r.get(_toks((2, "en", "hello world alpha"))) \
+        .select("text").collect()[0][0] == "hello world alpha"
+
+    # removing the last value under the filter empties it -> filter_count
+    # drops (`ContainerImpl.java:147-151` index cleanup)
+    two = _doc_frame(spark, [(2, "en", "hello world alpha")])
+    assert w.remove_exact(_toks((2, "en", "hello world alpha")),
+                          two, path) == 1
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 2
+    assert r.filter_count() == n_filters - 1
+    # idempotent: removing again is a no-op
+    assert w.remove_exact(_toks((2, "en", "hello world alpha")),
+                          two, path) == 0
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 2
+
+
+def test_payload_multimap_roundtrip(docs_setup):
+    """Generic payload storage (VERDICT r1 item 8): several values under
+    one filter, payload returned from storage without re-joining source
+    (`Container.java:171-221` multimap)."""
+    spark, df, w, path = docs_setup
+    r = BloomIndexReader(spark, path)
+    hits = r.get(_toks((1, "en", "hello world alpha"))) \
+        .select("doc_id", "text").toPandas().sort_values("doc_id")
+    assert hits["doc_id"].tolist() == [1, 2]
+    assert set(hits["text"]) == {"hello world alpha"}
+    # search returns the payload too
+    s = r.search(["lang=es"]).select("doc_id", "text").collect()
+    assert [(x.doc_id, x.text) for x in s] == [(4, "hola mundo gamma")]
+
+
 def test_metrics_dataframe(setup):
     spark, df, w, path = setup
     r = BloomIndexReader(spark, path)

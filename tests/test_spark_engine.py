@@ -159,8 +159,12 @@ def test_counts(spark, built_index, transcripts_pdf):
     r = BloomIndexReader(spark, built_index)
     assert r.value_count() == len(transcripts_pdf)
     assert r.storage().count() == len(transcripts_pdf)
-    assert r.filter_count() == r.slotmap().count()
-    assert r.filter_count() <= len(transcripts_pdf)
+    # globally-distinct live filters (reference getFilterCount semantics);
+    # slot_count counts physical per-shard slots and can only be larger
+    distinct_keys = r.storage().select("key").distinct().count()
+    assert r.filter_count() == distinct_keys
+    assert r.slot_count() == r.slotmap().count()
+    assert distinct_keys <= r.slot_count() <= len(transcripts_pdf)
 
 
 def test_pruning_skips_shards(spark, built_index):
