@@ -80,6 +80,8 @@ class BloomIndexReader:
         surface here as no rows, exactly like a Bloom false positive, so
         search soundness holds."""
         df = self.spark.read.parquet(os.path.join(self.path, "storage"))
+        if "filter" in df.columns:
+            df = df.drop("filter")  # at-rest artifact for the slab build
         dead = self._tombstones()
         if dead is not None:
             df = df.join(F.broadcast(dead),
@@ -88,7 +90,29 @@ class BloomIndexReader:
         return df
 
     def slotmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "slotmap"))
+        """(shard, slot, key) — DERIVED from the slab chunks' embedded
+        key blobs (format v2 retired the physical slotmap table: one
+        fewer full-data pass + partitioned write at build time). Slot
+        ids are unique per shard; content-addressed keys carry all the
+        semantics."""
+        slabs = self.slabs().select("shard", "slot_lo", "n_slots",
+                                    "keys_blob")
+
+        def explode(iterator):
+            for pdf in iterator:
+                for _, row in pdf.iterrows():
+                    blob = row["keys_blob"]
+                    n = int(row["n_slots"])
+                    yield pd.DataFrame({
+                        "shard": np.full(n, int(row["shard"]),
+                                         dtype=np.int32),
+                        "slot": int(row["slot_lo"]) + np.arange(n),
+                        "key": [blob[i * 16:(i + 1) * 16].hex()
+                                for i in range(n)],
+                    })
+
+        return slabs.mapInPandas(explode,
+                                 schema="shard int, slot long, key string")
 
     def slabs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "slabs"))

@@ -44,27 +44,23 @@ def t(name, fn):
     return r
 
 fp = t("fingerprints_toPandas", lambda: w.fingerprints(tdf).toPandas())
-# mirror build(): the jvm backend repartitions internally (its wide
-# exchange happens pre-aggregation on raw records) — adding another
-# repartition here would profile a redundant second exchange
+# mirror build()'s fused v2 flow: the jvm backend repartitions internally
+# (its wide exchange happens pre-aggregation on raw records); the hash
+# pass streams straight into the partitioned storage write (no persist)
 filters = w.filters_df(tdf)
 if cfg.hash_backend != "jvm":
     filters = filters.repartition(cfg.n_shards, "shard")
-filters = filters.persist()
-t("hash+shuffle+persist(count)", lambda: filters.count())
-t("storage_write", lambda: (filters.select("shard", "key", *cfg.id_columns)
+t("hash_storage_write", lambda: (filters
+    .select("shard", "key", *cfg.id_columns, "filter")
     .write.mode("overwrite").partitionBy("shard")
     .parquet(os.path.join(idx, "storage"))))
-kf = filters.select("shard", "key", "filter")
-t("slotmap_write", lambda: (w.slotmap_df(kf)
-    .write.mode("overwrite").partitionBy("shard")
-    .parquet(os.path.join(idx, "slotmap"))))
 from mdbloom.spark.build import SLAB_SCHEMA, MANIFEST_SCHEMA
-t("slab_write", lambda: (kf.groupBy("shard")
-    .applyInPandas(w._slab_udf(), schema=SLAB_SCHEMA)
+stored = spark.read.parquet(os.path.join(idx, "storage")) \
+    .select("shard", "key", "filter")
+t("slab_write", lambda: (stored
+    .mapInPandas(w._slab_mapper(), schema=SLAB_SCHEMA)
     .write.mode("overwrite").partitionBy("shard")
     .parquet(os.path.join(idx, "slabs"))))
-filters.unpersist()
 t("token_gate", lambda: w.token_gate_df(tdf).count())
 slabs_rd = spark.read.parquet(os.path.join(idx, "slabs"))
 t("manifest_agg", lambda: (slabs_rd.groupBy("shard")
