@@ -416,6 +416,28 @@ def q25_bloom_get_payload(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q26_set_ops(spark, sf_dir):
+    """Relational set operators (SURVEY §2.6 'set ops' as driver-level
+    proof, not just bitmap kernels): users who clicked INTERSECT users
+    who purchased EXCEPT users who ever hit an error."""
+    ev = _t(spark, sf_dir, "events")
+    u = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return (u("click").intersect(u("purchase")).exceptAll(
+        u("error").distinct()).orderBy("user_id"))
+
+
+def q27_json_props(spark, sf_dir):
+    """JSON scalar functions over the events props column: extract k,
+    bucket it, aggregate (scalar-function category incl. json)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+            .groupBy(F.floor(F.col("k") / 10).alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"))
+            .orderBy("k_bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -443,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_multimodal_features": q23_multimodal_features,
         "q24_transcript_membership": q24_transcript_membership,
         "q25_bloom_get_payload": q25_bloom_get_payload,
+        "q26_set_ops": q26_set_ops,
+        "q27_json_props": q27_json_props,
     }
 
 
@@ -674,6 +698,23 @@ def oracle_sql() -> dict[str, str]:
               AND list_sort(list_distinct(regexp_split_to_array(
                       trim(d.text), '\s+'))) = q.ws
             ORDER BY d.doc_id
+        """,
+        "q26_set_ops": """
+            SELECT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'error')
+            ORDER BY user_id
+        """,
+        "q27_json_props": """
+            SELECT CAST(floor(CAST(props->>'k' AS INT) / 10) AS BIGINT)
+                       AS k_bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+            FROM events
+            GROUP BY 1 ORDER BY k_bucket
         """,
         # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
         # Bloom search (includes designed-rate false positives), q18/q20/

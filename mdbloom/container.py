@@ -309,10 +309,103 @@ class TriePrunedIndex(BaseIndex):
         return len(self._key_block)
 
 
+class Trie4Index(BaseIndex):
+    """Chunked trie with superset expansion — a from-scratch re-expression
+    of the reference's Trie4 (`Trie.java:42-52`, `Trie4.java:53-57`,
+    `InnerNode.java:118-133`), NOT the block-summary analogue
+    (:class:`TriePrunedIndex`): the filter's m bits are split into
+    ``chunk``-bit chunks; a filter IS its root->leaf path of chunk values
+    (depth = ceil(m/chunk), `Trie.java:221-223`). Search expands each
+    query chunk q to every chunk value v with ``(v & q) == q`` (the
+    precomputed superset table, cf. the reference ``nibbleTable``
+    generator `Trie8.java:63-71`) and explores all matching branches —
+    the documented O(1.5^c * m/c) search (`Trie4.java:30-35`). Exact get
+    follows the exact chunk path; delete cascades empty nodes upward
+    (`LeafNode.java:74-76`, `InnerNode.java:146-160`).
+
+    Reference quirks intentionally NOT replicated (SURVEY §2.3): we keep
+    the estimated-population argument out entirely (Trie8 drops it,
+    `Trie8.java:91-93`) and filter_count counts live keys only."""
+
+    def __init__(self, shape: Shape, chunk: int = 4):
+        super().__init__(shape)
+        self.chunk = chunk
+        self.depth = (shape.m + chunk - 1) // chunk
+        self._root: dict = {}
+        self._key_filter: dict[str, np.ndarray] = {}
+        # superset-expansion table: for each query chunk value, every
+        # chunk value containing all its bits
+        self._sup = [
+            [v for v in range(1 << chunk) if (v & q) == q]
+            for q in range(1 << chunk)
+        ]
+        self._weights = (1 << np.arange(chunk, dtype=np.int64))
+
+    def _chunks(self, filt: np.ndarray) -> np.ndarray:
+        bits = B.unpack(filt, self.shape.m).astype(np.int64)
+        padded = np.zeros(self.depth * self.chunk, dtype=np.int64)
+        padded[: self.shape.m] = bits
+        return padded.reshape(self.depth, self.chunk) @ self._weights
+
+    def get(self, filt):
+        node = self._root
+        for ch in self._chunks(filt):
+            node = node.get(int(ch))
+            if node is None:
+                return None
+        return node  # leaf: the single key whose filter IS this path
+
+    def put(self, key, filt):
+        if key in self._key_filter:
+            return  # content-addressed dedup, like every reference index
+        chunks = [int(c) for c in self._chunks(filt)]
+        node = self._root
+        for ch in chunks[:-1]:
+            node = node.setdefault(ch, {})
+        node[chunks[-1]] = key
+        self._key_filter[key] = filt.copy()
+
+    def remove(self, key):
+        filt = self._key_filter.pop(key, None)
+        if filt is None:
+            return
+        chunks = [int(c) for c in self._chunks(filt)]
+        spine = [self._root]
+        for ch in chunks[:-1]:
+            spine.append(spine[-1][ch])
+        del spine[-1][chunks[-1]]
+        # cascade empty nodes upward (InnerNode.java:146-160)
+        for lvl in range(len(spine) - 1, 0, -1):
+            if spine[lvl]:
+                break
+            del spine[lvl - 1][chunks[lvl - 1]]
+
+    def search(self, filt):
+        qchunks = self._chunks(filt)
+        out: list[str] = []
+        stack = [(self._root, 0)]
+        while stack:
+            node, d = stack.pop()
+            expand = self._sup[int(qchunks[d])]
+            if d == self.depth - 1:
+                out.extend(node[v] for v in expand if v in node)
+            else:
+                stack.extend((node[v], d + 1) for v in expand if v in node)
+        return out
+
+    def get_all(self):
+        return list(self._key_filter)
+
+    @property
+    def filter_count(self):
+        return len(self._key_filter)
+
+
 INDEX_STRATEGIES = {
     "linear": LinearIndex,
     "flat": FlatSlabIndex,
     "tree": TriePrunedIndex,
+    "trie4": Trie4Index,
 }
 
 
