@@ -88,10 +88,11 @@ def run(cores: int) -> dict:
     raise RuntimeError(f"no RESULT at local[{cores}]")
 
 
-lo = run(N_LOW)
-hi = run(N_LOW * 4)
-print(f"{'stage':32s} {'lo':>8s} {'hi':>8s} {'speedup':>8s} {'eff':>6s}")
-for k in lo["stages"]:
-    a, b = lo["stages"][k], hi["stages"][k]
-    sp = a / b if b else float("inf")
-    print(f"{k:32s} {a:8.2f} {b:8.2f} {sp:8.2f} {sp/4:6.2f}")
+if __name__ == "__main__":
+    lo = run(N_LOW)
+    hi = run(N_LOW * 4)
+    print(f"{'stage':32s} {'lo':>8s} {'hi':>8s} {'speedup':>8s} {'eff':>6s}")
+    for k in lo["stages"]:
+        a, b = lo["stages"][k], hi["stages"][k]
+        sp = a / b if b else float("inf")
+        print(f"{k:32s} {a:8.2f} {b:8.2f} {sp:8.2f} {sp/4:6.2f}")
