@@ -59,6 +59,54 @@ class StreamingSketch:
         return writer.start()
 
 
+def stateful_sketch_by_key(stream_df: DataFrame, key_cols: list[str],
+                           col: str, factory: Callable,
+                           from_bytes: Callable,
+                           estimate: Callable | None = None) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``):
+    one running mergeable-sketch state per key, updated each microbatch,
+    emitting (key..., estimate, n_new) rows in update mode.
+
+    The per-key state is the sketch's canonical bytes — small, mergeable
+    and checkpoint-persisted by Spark itself, so a restarted query
+    resumes every key's sketch exactly where it left off (state lives in
+    the streaming checkpoint; asserted in tests by stopping and
+    restarting the query over new input files). This is the streaming
+    face of the same partial/final contract the batch UDAFs use
+    (mdbloom.spark.aggregate.sketch_by_key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    types = {f.name: f.dataType.simpleString()
+             for f in stream_df.schema.fields}
+    out_schema = ", ".join(
+        [f"`{k}` {types[k]}" for k in key_cols]
+        + ["estimate double", "n_new long"])
+    state_schema = "state binary"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            sk = from_bytes(bytes(state.get[0]))
+        else:
+            sk = factory()
+        n = 0
+        for pdf in pdfs:
+            vals = pdf[col].dropna().to_numpy()
+            if len(vals):
+                sk.update(vals)
+                n += len(vals)
+        state.update((sk.to_bytes(),))
+        row = dict(zip(key_cols, key))
+        row["estimate"] = float(estimate(sk)) if estimate else float("nan")
+        row["n_new"] = n
+        yield pd.DataFrame([row])
+
+    return (stream_df.groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
                     window: str = "5 minutes", slide: str | None = None,
                     watermark: str = "10 minutes") -> DataFrame:

@@ -66,6 +66,57 @@ def test_streaming_sketch_matches_batch(spark, tmp_path):
     assert acc.sketch.estimate() == batch_est  # same registers either way
 
 
+def test_stateful_sketch_by_key_resumes_from_checkpoint(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key HLL
+    state across microbatches AND across query restarts — the state
+    lives in the streaming checkpoint, so run 2 (new input files, same
+    checkpoint) must resume every key's sketch, giving estimates over
+    the UNION of both runs' rows."""
+    from mdbloom.spark.streaming import stateful_sketch_by_key
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half_a = events.where(F.col("event_id") % 2 == 0)
+    half_b = events.where(F.col("event_id") % 2 == 1)
+    import os
+    os.makedirs(src, exist_ok=True)
+    half_a.write.mode("append").parquet(src)
+
+    def run_once(name):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = stateful_sketch_by_key(
+            stream, ["event_type"], "user_id",
+            lambda: HllSketch(13), HllSketch.from_bytes,
+            estimate=lambda s: s.estimate())
+        got = {}
+
+        def capture(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r.event_type] = r.estimate
+
+        q = (out.writeStream.outputMode("update").foreachBatch(capture)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    got_a = run_once("st_run1")
+    exact_a = {r.event_type: r.d for r in half_a.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for k, d in exact_a.items():
+        assert abs(got_a[k] - d) / max(d, 1) < 0.1
+
+    half_b.write.mode("append").parquet(src)
+    got_b = run_once("st_run2")
+    exact_all = {r.event_type: r.d for r in events.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for k, d in exact_all.items():
+        # resumed state -> estimate covers BOTH halves' distinct users
+        assert abs(got_b[k] - d) / max(d, 1) < 0.1
+        assert got_b[k] >= got_a.get(k, 0) - 1e-9
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "wsrc")
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
