@@ -382,12 +382,18 @@ class BloomIndexReader:
                                    ["shard", "key"], "inner")
 
     def search(self, tokens) -> DataFrame:
-        """Containment search -> storage rows (shard, key, conv_id,
-        turn_idx): values whose filter has all query bits (may include
-        Bloom false positives at the Shape's designed rate)."""
+        """Containment search -> storage rows (shard, key, <ids>,
+        <payload>): values whose filter has all query bits (may include
+        Bloom false positives at the Shape's designed rate).
+
+        No join hint: AQE sizes the hit set at runtime and broadcasts it
+        when small (a selective query then touches storage with ZERO
+        shuffle — the 100 TB shape), falling back to a shuffled hash
+        join only when the hit set is genuinely broad. The batched
+        search_many path, broad by construction, keeps an explicit
+        shuffle_hash hint instead."""
         keys = self.search_keys(tokens).select("shard", "key")
-        return self.storage().join(keys.hint("shuffle_hash"),
-                                   ["shard", "key"], "left_semi")
+        return self.storage().join(keys, ["shard", "key"], "left_semi")
 
     def search_rows(self, tokens, source_df: DataFrame) -> DataFrame:
         """Search and join back to the original table on the id columns."""
