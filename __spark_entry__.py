@@ -424,9 +424,13 @@ def q26_set_ops(spark, sf_dir):
     proof, not just bitmap kernels): users who clicked INTERSECT users
     who purchased EXCEPT users who ever hit an error."""
     ev = _t(spark, sf_dir, "events")
-    u = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
-    return (u("click").intersect(u("purchase")).exceptAll(
-        u("error").distinct()).orderBy("user_id"))
+
+    def u(t, thr):
+        return (ev.where((F.col("event_type") == t)
+                         & (F.col("value") > thr)).select("user_id"))
+
+    return (u("click", 95).intersect(u("purchase", 95))
+            .exceptAll(u("error", 99).distinct()).orderBy("user_id"))
 
 
 def q27_json_props(spark, sf_dir):
@@ -704,11 +708,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_set_ops": """
             SELECT user_id FROM (
-                SELECT user_id FROM events WHERE event_type = 'click'
+                SELECT user_id FROM events
+                WHERE event_type = 'click' AND value > 95
                 INTERSECT
-                SELECT user_id FROM events WHERE event_type = 'purchase'
+                SELECT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 95
                 EXCEPT
-                SELECT user_id FROM events WHERE event_type = 'error')
+                SELECT user_id FROM events
+                WHERE event_type = 'error' AND value > 99)
             ORDER BY user_id
         """,
         "q27_json_props": """

@@ -130,8 +130,9 @@ def main():
                  "q03_events_by_type", "q05_sessionize",
                  "q07_dedup_exact", "q09_token_stats",
                  "q11_ngram_jaccard", "q12_cosine_topk",
-                 "q16_minhash_near_dups", "q18_hll_distinct",
-                 "q20_kll_quantiles"]:
+                 "q16_minhash_near_dups", "q17_simhash_near_dups",
+                 "q18_hll_distinct", "q20_kll_quantiles",
+                 "q22_ann_lsh_topk", "q26_set_ops", "q27_json_props"]:
         fn = E.queries()[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
 

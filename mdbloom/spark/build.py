@@ -517,8 +517,12 @@ class BloomIndexWriter:
             f = f.repartition(cfg.n_shards, "shard")
         storage_cols = list(cfg.id_columns) + [
             c for c in cfg.payload_columns if c not in cfg.id_columns]
+        # parquet bloom filter on the content key: exact-get (key
+        # equality) prunes row groups without reading them — the
+        # file-format face of the reference's O(1) content-addressed get
         (f.select("shard", "key", *storage_cols, "filter")
          .write.mode("overwrite").partitionBy("shard")
+         .option("parquet.bloom.filter.enabled#key", "true")
          .parquet(os.path.join(path, "storage")))
         _mark("hash_storage_write")
 
