@@ -445,6 +445,20 @@ def q27_json_props(spark, sf_dir):
             .orderBy("k_bucket"))
 
 
+def q28_cosine_near_dups(spark, sf_dir):
+    """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
+    equi-join candidates across tables, exact cosine verify — precision
+    1.0, probabilistic recall (so rows-only; planted-pair recall is
+    asserted in tests). On the near-random test embeddings the true pair
+    set is small/empty — the honest outcome for data with no real
+    near-duplicates."""
+    from mdbloom.spark.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return (cosine_near_dup_pairs(emb, threshold=0.9, nbits=8, n_tables=2)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -474,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_bloom_get_payload": q25_bloom_get_payload,
         "q26_set_ops": q26_set_ops,
         "q27_json_props": q27_json_props,
+        "q28_cosine_near_dups": q28_cosine_near_dups,
     }
 
 
