@@ -211,19 +211,43 @@ def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 3,
         sig_batches, schema=f"{id_col} long, sig array<long>")
 
 
+def minhash_signatures_sql(df: DataFrame, num_perm: int = 64, n: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(id, sig array<long>): MinHash signatures computed ENTIRELY as
+    Spark SQL — the distinct (doc, shingle) table (shingles_df, all
+    built-ins) min-aggregated over ``num_perm`` seeded xxhash64 streams.
+    Zero Python anywhere: signature build is whole-stage codegen with
+    map-side partial min combine, so it scales like any JVM aggregation
+    (the NumPy kernel in :func:`minhash_signatures` remains the
+    north-star-literal alternative; both are valid MinHash families,
+    their permutations just differ)."""
+    sh = shingles_df(df, n, id_col, text_col)
+    mins = sh.groupBy(id_col).agg(*[
+        F.min(F.xxhash64("shingle", F.lit(i + 1))).alias(f"_m{i}")
+        for i in range(num_perm)])
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"))
+
+
 def minhash_near_dups(df: DataFrame, num_perm: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      backend: str = "sql") -> DataFrame:
     """MinHash-LSH candidate pairs, verified with EXACT n-gram Jaccard.
 
     banding: signature split into ``bands`` bands of num_perm/bands rows;
     a pair colliding in any band becomes a candidate (equi-join on
     (band, hash(band-slice))); candidates are then re-checked exactly, so
     precision is 1.0 and only recall is probabilistic (the published
-    1-(1-s^r)^b curve)."""
+    1-(1-s^r)^b curve). ``backend``: "sql" (default — all-JVM signature
+    aggregation, the scale path) or "numpy" (mapInPandas kernel)."""
     rows = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+    sig = (minhash_signatures_sql(df, num_perm, n, id_col, text_col)
+           if backend == "sql"
+           else minhash_signatures(df, num_perm, n, id_col, text_col))
     banded = sig.select(
         id_col,
         F.explode(F.transform(
