@@ -115,15 +115,55 @@ def main():
 
     timed("bloom_search_verified", verified_two)
 
-    # observed FPR: known-absent probes should hit ~0 rows (batched)
+    # observed FPR, engine level: known-absent probes through the full
+    # query path (gate pruning typically zeroes these — the engine's
+    # honest behavior)
     def fpr():
         return reader.search_many(
             {f"a{i}": t for i, t in enumerate(absent)}).count()
 
     fp_rows = timed("bloom_fpr_probe", fpr)
     extra["fpr_observed_rows"] = int(fp_rows)
-    extra["fpr_observed"] = round(fp_rows / max(stats["rows"], 1) / 8, 8)
-    extra["fpr_predicted"] = reader.shape.probability
+
+    # observed FPR, filter level (FIXTURES: >=1e5 absent probes): test
+    # 100k absent single-token probes against one real shard's stored
+    # filters and compare to the cardinality-exact prediction
+    # mean_s[(c_s/m)^k] (c_s = stored filter popcount) — the designed
+    # Shape rate holds per filter, independent of gate pruning
+    def fpr_filters():
+        from mdbloom import bits as B
+        from mdbloom import kernel as K
+        pdf = reader.slabs().limit(1).toPandas()
+        row = pdf.iloc[0]
+        m, k = reader.shape.m, reader.shape.k
+        slab = np.frombuffer(row["slab"], dtype=B.U64).reshape(m, -1)
+        n_slots = int(row["n_slots"])
+        n_probes = 100_000
+        toks = [f"absentfpr{i}" for i in range(n_probes)]
+        if reader._jvm_hasher is not None:
+            reader._jvm_hasher._ensure(toks)
+        hits = 0
+        for t in toks:
+            hits += K.query_slab(slab, reader.query_bits([t]),
+                                 n_slots).size
+        observed = hits / (n_probes * n_slots)
+        # per-slot cardinalities from the unpacked slab columns
+        bits = np.unpackbits(
+            slab.view(np.uint8).reshape(m, -1), axis=1,
+            bitorder="little")[:, :n_slots]
+        card = bits.sum(axis=0).astype(np.float64)
+        predicted = float(np.mean((card / m) ** k))
+        return observed, predicted
+
+    obs, pred = timed("bloom_fpr_filters_100k", fpr_filters)
+    extra["fpr_observed"] = round(obs, 8)
+    extra["fpr_predicted"] = round(pred, 8)
+    extra["fpr_designed"] = reader.shape.probability
+    # observed tracks the cardinality-exact idealized prediction to
+    # within the documented enhanced-double-hashing approximation factor
+    # (structured k-position sequences vs independent uniform draws) and
+    # must stay under the designed Shape rate
+    extra["fpr_within_designed"] = bool(obs <= reader.shape.probability)
 
     # ---- analytic / pipeline headliners from the driver tables
     for name in ["q01_pricing_summary", "q02_top_revenue_orders",
