@@ -60,10 +60,12 @@ from mdbloom.shape import Shape
 
 def _filter_schema(df, id_columns) -> str:
     """Output schema of the hash pass: shard, key, <id columns with their
-    source types>, filter."""
+    source types>, filter words (little-endian packed uint64 as signed
+    longs — array<bigint> so containment is expressible as a pure Spark
+    SQL predicate, see BloomIndexReader.search_linear)."""
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ids = ", ".join(f"`{c}` {types[c]}" for c in id_columns)
-    return f"shard int, key string, {ids}, filter binary"
+    return f"shard int, key string, {ids}, filter array<bigint>"
 SLAB_SCHEMA = ("shard int, chunk long, slot_lo long, n_slots int, "
                "slab binary, keys_blob binary, build_ms double")
 MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
@@ -128,11 +130,12 @@ class IndexConfig:
         self.gate_shape = Shape.from_mk(self.gate_m, self.gate_k)
 
     # on-disk artifact format, bumped on any layout change (r2: embedded
-    # keys_blob in slabs, key-carrying tombstones). build(resume=True)
-    # compares the FULL config.json — a version bump therefore forces a
-    # clean rebuild instead of mixing old/new-schema shard files
-    # (ADVICE r1: mixed-schema slabs dir after a format change).
-    FORMAT_VERSION = 2
+    # keys_blob in slabs, key-carrying tombstones; r2.1: storage filter
+    # stored as array<bigint> words enabling the all-JVM linear scan).
+    # build(resume=True) compares the FULL config.json — a version bump
+    # therefore forces a clean rebuild instead of mixing old/new-schema
+    # shard files (ADVICE r1: mixed-schema slabs dir after a change).
+    FORMAT_VERSION = 3
 
     def to_json(self) -> str:
         import json
@@ -251,22 +254,23 @@ class BloomIndexWriter:
             words = J.aggregated_filter_words(
                 sharded.repartition(cfg.n_shards, "shard"), cfg, carry)
             filt = F.expr(J.filter_binary_sql(n_words))
+            arr = F.array(*[F.col(f"_w{w}") for w in range(n_words)])
             return words.select("shard", F.md5(filt).alias("key"),
-                                *carry, filt.alias("filter"))
+                                *carry, arr.alias("filter"))
 
         def hash_batches(iterator):
             for pdf in iterator:
                 if not len(pdf):
                     continue
                 packed = filters_for_batch(pdf, cfg).astype(B.U64)
+                signed = packed.view(np.int64)
                 out = {
                     "shard": pdf["shard"].to_numpy(),
                     "key": B.content_keys(packed),
                 }
                 for c in carry:
                     out[c] = pdf[c].to_numpy()
-                out["filter"] = [packed[i].tobytes()
-                                 for i in range(len(pdf))]
+                out["filter"] = list(signed)
                 yield pd.DataFrame(out)
 
         return sharded.mapInPandas(hash_batches,
@@ -401,8 +405,9 @@ class BloomIndexWriter:
                 grp = pd.concat(bufs.pop(shard)).drop_duplicates("key")
                 grp = grp.sort_values("key", kind="mergesort")
                 sizes.pop(shard)
-                filters = np.stack([np.frombuffer(r, dtype=B.U64)
-                                    for r in grp["filter"].to_numpy()])
+                filters = np.stack([np.asarray(r, dtype=np.int64)
+                                    for r in grp["filter"].to_numpy()]) \
+                    .view(B.U64)
                 slab = K.build_slab(filters, shape.m)
                 keys_raw = bytes.fromhex("".join(grp["key"]))
                 row = (shard, (pid << 20) + counter["chunk"],

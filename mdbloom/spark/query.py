@@ -71,17 +71,18 @@ class BloomIndexReader:
                 .select("shard", "key", *ids)
                 .dropDuplicates(["shard", "key", *ids]))
 
-    def storage(self) -> DataFrame:
+    def storage(self, keep_filter: bool = False) -> DataFrame:
         """Storage rows, minus any append-only tombstones (distributed
         `remove` / `remove_exact`: BloomIndexWriter). A tombstone names an
         exact (key, value) pair, so a value stored under a DIFFERENT
         filter survives — reference exact-match remove semantics. Until
         compaction, index slabs may still name tombstoned keys — those
         surface here as no rows, exactly like a Bloom false positive, so
-        search soundness holds."""
+        search soundness holds. ``keep_filter`` retains the stored
+        filter-words column (used by :meth:`search_linear`)."""
         df = self.spark.read.parquet(os.path.join(self.path, "storage"))
-        if "filter" in df.columns:
-            df = df.drop("filter")  # at-rest artifact for the slab build
+        if "filter" in df.columns and not keep_filter:
+            df = df.drop("filter")  # at-rest column for slab build / I1
         dead = self._tombstones()
         if dead is not None:
             df = df.join(F.broadcast(dead),
@@ -394,6 +395,35 @@ class BloomIndexReader:
         shuffle_hash hint instead."""
         keys = self.search_keys(tokens).select("shard", "key")
         return self.storage().join(keys, ["shard", "key"], "left_semi")
+
+    def search_linear(self, tokens) -> DataFrame:
+        """Distributed Linear (I1) containment scan — `Linear.java:134-140`
+        re-expressed as a pure Spark SQL predicate over the stored filter
+        words: for every nonzero query word w,
+        ``(filter[w] & qword) == qword``. Zero Python, whole-stage
+        codegen, touches only the storage table (no slab artifacts).
+        Complements the bit-sliced slab path: the slab wins when the
+        index is far smaller than storage and many queries batch
+        (O(k·N/64) word-ANDs, amortized scans); this path wins for
+        one-off scans, JVM-only deployments, or hosts where parallel
+        Python/NumPy is bandwidth-capped — and doubles as an independent
+        implementation for cross-checking results (strategy-equivalence
+        test at Spark scale). Same driver-side gate pruning as
+        :meth:`search`; same output rows."""
+        qbits = self.query_bits(tokens)
+        df = self.storage(keep_filter=True)
+        if qbits.size == 0:
+            return df.drop("filter")  # empty query matches everything
+        shards = self.prune_shards(qbits, tokens)
+        if not shards:
+            return df.where(F.lit(False)).drop("filter")
+        qwords = B.from_bits(qbits, self.shape.m).view(np.int64)
+        cond = F.col("shard").isin(shards)
+        for w in np.flatnonzero(qwords != 0):
+            mask = int(qwords[w])
+            cond = cond & (F.element_at("filter", int(w) + 1)
+                           .bitwiseAND(F.lit(mask)) == F.lit(mask))
+        return df.where(cond).drop("filter")
 
     def search_rows(self, tokens, source_df: DataFrame) -> DataFrame:
         """Search and join back to the original table on the id columns."""

@@ -126,6 +126,34 @@ def test_search_superset_of_exact_and_fpr_bounded(spark, built_index,
     assert fp <= 3 * r.shape.probability * N_TURNS + 5
 
 
+def test_search_linear_equals_slab_search(spark, built_index):
+    """Strategy equivalence at Spark scale: the all-JVM Linear scan
+    (search_linear, codegen predicate over stored filter words) must
+    return exactly the rows of the bit-sliced slab path for the same
+    query — including empty-query (all rows), definite-miss (pruned to
+    nothing), and multi-dimension queries. Its plan must be pure JVM:
+    no Arrow/Python eval nodes."""
+    r = BloomIndexReader(spark, built_index)
+    cases = [
+        ["role=assistant", "tool=Bash", "tok=w00000"],
+        ["tok=w00042"],
+        ["role=user", "tok=w00007", "tok=w00001"],
+        ["tok=definitely_absent_zzz"],
+        [],
+    ]
+    for toks in cases:
+        a = set(map(tuple, r.search(toks).select("conv_id", "turn_idx")
+                    .toPandas().itertuples(index=False)))
+        b = set(map(tuple, r.search_linear(toks)
+                    .select("conv_id", "turn_idx")
+                    .toPandas().itertuples(index=False)))
+        assert a == b, toks
+    plan = r.search_linear(cases[0])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_empty_query_matches_everything(spark, built_index):
     r = BloomIndexReader(spark, built_index)
     assert r.search([]).count() == N_TURNS or \
