@@ -445,6 +445,20 @@ def q27_json_props(spark, sf_dir):
             .orderBy("k_bucket"))
 
 
+def q29_bloom_search_linear(spark, sf_dir):
+    """The SAME containment search as q13 answered by the OTHER physical
+    strategy: the distributed Linear (I1) scan — an all-JVM codegen
+    containment predicate over the stored filter words
+    (`Linear.java:134-140` at scale), exact post-verified. Shares q13's
+    oracle: two independent physical paths against one ANSI-SQL truth."""
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = ["lang=es", "tok=spark", "tok=window"]
+    return (r.search_verified(toks, docs, via="linear")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -489,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_set_ops": q26_set_ops,
         "q27_json_props": q27_json_props,
         "q28_cosine_near_dups": q28_cosine_near_dups,
+        "q29_bloom_search_linear": q29_bloom_search_linear,
     }
 
 
@@ -703,6 +718,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "q13_bloom_search_verified": rf"""
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'es'
+              AND list_contains({_WORDS}, 'spark')
+              AND list_contains({_WORDS}, 'window')
+            ORDER BY doc_id
+        """,
+        # q29 = q13's semantics via the distributed Linear (I1) strategy
+        # -> identical oracle (two physical paths, one ANSI-SQL truth)
+        "q29_bloom_search_linear": rf"""
             SELECT doc_id, lang FROM documents
             WHERE lang = 'es'
               AND list_contains({_WORDS}, 'spark')

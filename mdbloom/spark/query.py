@@ -425,17 +425,23 @@ class BloomIndexReader:
                            .bitwiseAND(F.lit(mask)) == F.lit(mask))
         return df.where(cond).drop("filter")
 
-    def search_rows(self, tokens, source_df: DataFrame) -> DataFrame:
-        """Search and join back to the original table on the id columns."""
+    def search_rows(self, tokens, source_df: DataFrame,
+                    via: str = "slab") -> DataFrame:
+        """Search and join back to the original table on the id columns.
+        ``via``: "slab" (bit-sliced index scan) or "linear" (all-JVM
+        storage scan, :meth:`search_linear`) — identical results."""
         id_cols = list(self.cfg.id_columns)
-        hits = self.search(tokens).select(*id_cols).dropDuplicates(id_cols)
+        hits = (self.search_linear(tokens) if via == "linear"
+                else self.search(tokens))
+        hits = hits.select(*id_cols).dropDuplicates(id_cols)
         return source_df.join(hits, id_cols, "left_semi")
 
-    def search_verified(self, tokens, source_df: DataFrame) -> DataFrame:
+    def search_verified(self, tokens, source_df: DataFrame,
+                        via: str = "slab") -> DataFrame:
         """Search, then post-verify exact containment of every token in the
         source row — removes Bloom false positives, giving exact results
         (the pattern FIXTURES §5 uses for DuckDB-checkable oracles)."""
-        out = self.search_rows(tokens, source_df)
+        out = self.search_rows(tokens, source_df, via=via)
         cfg = self.cfg
         for tok in tokens:
             tag, _, val = tok.partition("=")
