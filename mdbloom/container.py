@@ -401,11 +401,20 @@ class Trie4Index(BaseIndex):
         return len(self._key_filter)
 
 
+def _trie8(shape: Shape) -> Trie4Index:
+    """8-bit-chunk trie — the reference's Trie8 geometry
+    (`Trie8.java:57-73`: byteTable superset expansion over 2^8 chunk
+    values, depth = ceil(m/8)); same node machinery as Trie4, wider
+    chunks, shallower tree."""
+    return Trie4Index(shape, chunk=8)
+
+
 INDEX_STRATEGIES = {
     "linear": LinearIndex,
     "flat": FlatSlabIndex,
     "tree": TriePrunedIndex,
     "trie4": Trie4Index,
+    "trie8": _trie8,
 }
 
 

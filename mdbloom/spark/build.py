@@ -400,11 +400,8 @@ class BloomIndexWriter:
             bufs: dict[int, list[pd.DataFrame]] = {}
             sizes: dict[int, int] = {}
 
-            def flush(shard: int) -> pd.DataFrame:
+            def emit(shard: int, grp: pd.DataFrame) -> pd.DataFrame:
                 t0 = time.monotonic()
-                grp = pd.concat(bufs.pop(shard)).drop_duplicates("key")
-                grp = grp.sort_values("key", kind="mergesort")
-                sizes.pop(shard)
                 filters = np.stack([np.asarray(r, dtype=np.int64)
                                     for r in grp["filter"].to_numpy()]) \
                     .view(B.U64)
@@ -420,6 +417,26 @@ class BloomIndexWriter:
                     "shard", "chunk", "slot_lo", "n_slots", "slab",
                     "keys_blob", "build_ms"])
 
+            def flush(shard: int, tail: bool):
+                # emit FULL chunks of exactly chunk_slots rows; a sub-chunk
+                # remainder stays buffered (unless ``tail``) so no chunk
+                # ever exceeds the documented ~m/8 * chunk_slots per-row
+                # bound, however large an incoming Arrow group is (ADVICE
+                # r2: append-then-check could overshoot by a batch)
+                grp = (pd.concat(bufs.pop(shard))
+                       .drop_duplicates("key")
+                       .sort_values("key", kind="mergesort"))
+                sizes.pop(shard)
+                while len(grp) >= chunk_slots:
+                    yield emit(shard, grp.iloc[:chunk_slots])
+                    grp = grp.iloc[chunk_slots:]
+                if len(grp):
+                    if tail:
+                        yield emit(shard, grp)
+                    else:
+                        bufs[shard] = [grp]
+                        sizes[shard] = len(grp)
+
             for pdf in iterator:
                 if not len(pdf):
                     continue
@@ -428,9 +445,9 @@ class BloomIndexWriter:
                     bufs.setdefault(shard, []).append(grp)
                     sizes[shard] = sizes.get(shard, 0) + len(grp)
                     if sizes[shard] >= chunk_slots:
-                        yield flush(shard)
+                        yield from flush(shard, tail=False)
             for shard in list(bufs):
-                yield flush(shard)
+                yield from flush(shard, tail=True)
 
         return run
 
@@ -616,9 +633,10 @@ class BloomIndexWriter:
         ids = df.select(*cfg.id_columns).dropDuplicates(list(cfg.id_columns))
         # live view (already-tombstoned rows excluded -> idempotent,
         # removing an absent value is a no-op like `InMemory.java:49-67`)
+        # no broadcast hint on ids: a bulk delete's id set is unbounded;
+        # AQE broadcasts it when it measures small at runtime (ADVICE r2)
         storage = BloomIndexReader(self.spark, path).storage()
-        doomed = (storage.join(F.broadcast(ids), list(cfg.id_columns),
-                               "left_semi")
+        doomed = (storage.join(ids, list(cfg.id_columns), "left_semi")
                   .select("shard", "key", *cfg.id_columns)
                   .dropDuplicates(["shard", "key", *cfg.id_columns]))
         return self._append_tombstones(doomed, path)
@@ -666,7 +684,7 @@ class BloomIndexWriter:
         # live view -> idempotent; absent value = no-op (InMemory.java:49-67)
         storage = reader.storage()
         doomed = (storage.where(F.col("key") == key)
-                  .join(F.broadcast(ids), list(cfg.id_columns), "left_semi")
+                  .join(ids, list(cfg.id_columns), "left_semi")
                   .select("shard", "key", *cfg.id_columns)
                   .dropDuplicates(["shard", "key", *cfg.id_columns]))
         return self._append_tombstones(doomed, path)

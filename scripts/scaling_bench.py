@@ -119,6 +119,7 @@ warm_src = tdf.limit(50_000)
 BloomIndexWriter(spark, cfg).build(warm_src, warm_idx)
 warm_reader = BloomIndexReader(spark, warm_idx)
 warm_reader.search_many(mk_queries(warm_reader, 8)).count()
+warm_reader.search_linear_many(mk_queries(warm_reader, 8)).count()
 shutil.rmtree(warm_idx, ignore_errors=True)
 
 # ---- timed build ----
@@ -126,18 +127,30 @@ t0 = time.monotonic()
 stats = BloomIndexWriter(spark, cfg).build(tdf, idx)
 build_sec = time.monotonic() - t0
 
-# ---- timed batched queries ----
+# ---- timed batched queries (bit-sliced slab strategy, NumPy kernels) ----
 reader = BloomIndexReader(spark, idx)
 queries = mk_queries(reader, n_queries)
 t0 = time.monotonic()
 hits = reader.search_many(queries).count()
 query_sec = time.monotonic() - t0
+
+# ---- timed batched queries (distributed Linear I1, all-JVM codegen:
+# register-resident compute — the scaling-evidence path where parallel
+# NumPy/DRAM is the host bottleneck; VERDICT r2 item 1). Same query
+# batch, independent physical strategy, must produce the same row set.
+t0 = time.monotonic()
+hits_linear = reader.search_linear_many(queries).count()
+linear_sec = time.monotonic() - t0
+assert hits_linear == hits, (hits_linear, hits)
+
 shutil.rmtree(idx, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cores": cores, "rows": stats["rows"], "build_sec": build_sec,
     "query_sec": query_sec, "hits": hits, "n_queries": len(queries),
+    "linear_sec": linear_sec,
     "turns_per_sec": stats["rows"] / build_sec,
     "queries_per_sec": len(queries) / query_sec,
+    "queries_per_sec_linear": len(queries) / linear_sec,
 }))
 """
 
@@ -174,13 +187,21 @@ def main():
     hi = max(runs[N_HIGH], key=lambda r: r["turns_per_sec"])
     lo_q = max(runs[N_LOW], key=lambda r: r["queries_per_sec"])
     hi_q = max(runs[N_HIGH], key=lambda r: r["queries_per_sec"])
+    lo_l = max(runs[N_LOW], key=lambda r: r.get("queries_per_sec_linear", 0))
+    hi_l = max(runs[N_HIGH], key=lambda r: r.get("queries_per_sec_linear", 0))
     eff_build = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (N_HIGH / N_LOW)
     eff_query = (hi_q["queries_per_sec"] / lo_q["queries_per_sec"]) \
         / (N_HIGH / N_LOW)
+    eff_linear = (hi_l["queries_per_sec_linear"]
+                  / lo_l["queries_per_sec_linear"]) / (N_HIGH / N_LOW)
     lo = {**lo, "query_sec": lo_q["query_sec"],
-          "queries_per_sec": lo_q["queries_per_sec"]}
+          "queries_per_sec": lo_q["queries_per_sec"],
+          "linear_sec": lo_l["linear_sec"],
+          "queries_per_sec_linear": lo_l["queries_per_sec_linear"]}
     hi = {**hi, "query_sec": hi_q["query_sec"],
-          "queries_per_sec": hi_q["queries_per_sec"]}
+          "queries_per_sec": hi_q["queries_per_sec"],
+          "linear_sec": hi_l["linear_sec"],
+          "queries_per_sec_linear": hi_l["queries_per_sec_linear"]}
     report = {
         "n_turns": N_TURNS, "low": lo, "high": hi,
         "reps": N_REPS, "canaries_ms": canaries,
@@ -188,6 +209,7 @@ def main():
                           for c, rs in runs.items()},
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
+        "scaling_efficiency_query_linear": round(eff_linear, 3),
     }
     print(json.dumps(report, indent=2))
 
@@ -204,13 +226,14 @@ protocol in scripts/scaling_bench.py; all reps: {report['all_build_sec']},
 canaries {report['canaries_ms']} ms). Same query results at every level
 and rep (hits={lo['hits']}).
 
-| parallelism | build sec | turns/sec | query sec ({N_QUERIES} batched queries) | queries/sec |
-|---|---|---|---|---|
-| local[{N_LOW}] (cores 0-{N_LOW-1}) | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {lo['query_sec']:.1f} | {lo['queries_per_sec']:.2f} |
-| local[{N_HIGH}] (cores 0-{N_HIGH-1}) | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {hi['query_sec']:.1f} | {hi['queries_per_sec']:.2f} |
+| parallelism | build sec | turns/sec | slab query sec ({N_QUERIES} batched) | slab q/s | linear (JVM) query sec | linear q/s |
+|---|---|---|---|---|---|---|
+| local[{N_LOW}] (cores 0-{N_LOW-1}) | {lo['build_sec']:.1f} | {lo['turns_per_sec']:,.0f} | {lo['query_sec']:.1f} | {lo['queries_per_sec']:.2f} | {lo['linear_sec']:.1f} | {lo['queries_per_sec_linear']:.2f} |
+| local[{N_HIGH}] (cores 0-{N_HIGH-1}) | {hi['build_sec']:.1f} | {hi['turns_per_sec']:,.0f} | {hi['query_sec']:.1f} | {hi['queries_per_sec']:.2f} | {hi['linear_sec']:.1f} | {hi['queries_per_sec_linear']:.2f} |
 
 Scaling efficiency (throughput ratio / core ratio):
-**build {eff_build:.2f}**, **query {eff_query:.2f}** (north-rule target >= 0.8).
+**build {eff_build:.2f}**, **slab query {eff_query:.2f}**,
+**linear (all-JVM) query {eff_linear:.2f}** (north-rule target >= 0.8).
 """
     with open("BENCH.md", "a") as f:
         f.write(table)

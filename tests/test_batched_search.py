@@ -42,3 +42,90 @@ def test_search_many_empty_query_matches_all(spark, reader):
         .toPandas()
     assert (out["query"] == "every").sum() == reader.value_count()
     assert (out["query"] == "none").sum() == 0
+
+
+def test_search_linear_many_matches_search_many(spark, reader):
+    """The batched all-JVM Linear (I1) pass must return exactly the same
+    (query, row) set as the batched bit-sliced slab scan — two physical
+    strategies, one semantics (`Linear.java:134-140` vs
+    `FlatBloofi.java:188-205`)."""
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "c": reader.transcript_query_tokens("user", None, ["w00000",
+                                                           "w00002"]),
+        "absent": ["tok=zzznope"],
+    }
+    cols = ["query", "conv_id", "turn_idx"]
+    lin = reader.search_linear_many(queries).toPandas()
+    slab = reader.search_many(queries).toPandas()
+    assert set(map(tuple, lin[cols].itertuples(index=False))) \
+        == set(map(tuple, slab[cols].itertuples(index=False)))
+    assert (lin["query"] == "absent").sum() == 0
+
+
+def test_search_linear_many_empty_query_matches_all(spark, reader):
+    out = reader.search_linear_many(
+        {"every": [], "none": ["tok=zzznope"]}).toPandas()
+    assert (out["query"] == "every").sum() == reader.value_count()
+    assert (out["query"] == "none").sum() == 0
+
+
+def _turn_tokens(row) -> list:
+    import pandas as pd
+    toks = [f"role={row.role}"]
+    if not pd.isna(row.tool) and row.tool != "none":
+        toks.append(f"tool={row.tool}")
+    toks += [f"tok={w}" for w in str(row.text).split()]
+    return toks
+
+
+def test_get_many_matches_individual_gets(spark, reader):
+    """Batched exact get == union of per-query gets, tagged by name; an
+    absent full-dimension key returns nothing."""
+    from mdbloom.spark.transcripts import synthesize_transcripts_pandas
+    pdf = synthesize_transcripts_pandas(1500, seed=42)
+    picks = pdf.iloc[[0, 7]]
+    queries = {f"t{i}": _turn_tokens(r)
+               for i, r in enumerate(picks.itertuples(index=False))}
+    queries["absent"] = ["role=assistant", "tok=zzznope"]
+    out = reader.get_many(queries).toPandas()
+    for name, toks in queries.items():
+        single = reader.get(toks).toPandas()
+        got = set(map(tuple, out[out["query"] == name]
+                      [["conv_id", "turn_idx"]].itertuples(index=False)))
+        want = set(map(tuple, single[["conv_id", "turn_idx"]]
+                       .itertuples(index=False)))
+        assert got == want, name
+    assert (out["query"] == "absent").sum() == 0
+    # the two real probes each found their own turn
+    assert {"t0", "t1"} <= set(out["query"])
+
+
+def test_slab_chunks_respect_chunk_slots_bound(spark, reader):
+    """No slab chunk may exceed chunk_slots rows, however large an
+    incoming Arrow group is (ADVICE r2: append-then-check overshoot);
+    with 1500 rows over 4 shards at chunk_slots=256 the large shards
+    must have split into several chunks."""
+    import pyspark.sql.functions as F
+    agg = (reader.slabs().groupBy("shard")
+           .agg(F.max("n_slots").alias("mx"), F.count("*").alias("n"))
+           .toPandas())
+    assert int(agg["mx"].max()) <= 256
+    assert int(agg["n"].max()) >= 2
+
+
+def test_reader_rejects_other_format_version(spark, reader, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+    with open(os.path.join(reader.path, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["format_version"] = 1
+    old = tmp_path / "old_idx"
+    old.mkdir()
+    with open(old / "config.json", "w") as f:
+        json.dump(cfg, f)
+    with _pytest.raises(ValueError, match="format"):
+        BloomIndexReader(spark, str(old))

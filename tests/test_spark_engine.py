@@ -247,11 +247,17 @@ def test_resume_skips_unchanged_shards(spark, transcripts_df, tmp_path):
 
 
 def test_resume_rebuilds_only_changed_shards_and_matches_full(spark, tmp_path):
+    """Incremental growth E2E (the checkpoint-resume story, north rule):
+    appending new conversations rebuilds EXACTLY the shards the new
+    conv_ids hash into — untouched shards are fingerprint-skipped — and
+    queries over the grown index see old AND new rows, identical to a
+    from-scratch build of the full input."""
+    from pyspark.sql import functions as F
+
     from mdbloom.spark.transcripts import synthesize_transcripts
     base = synthesize_transcripts(spark, 800, seed=42)
     extra = synthesize_transcripts(spark, 400, seed=99).withColumn(
-        "conv_id", __import__("pyspark").sql.functions.concat(
-            __import__("pyspark").sql.functions.lit("x"), "conv_id"))
+        "conv_id", F.concat(F.lit("x"), "conv_id"))
     cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
                       chunk_slots=256)
 
@@ -259,7 +265,12 @@ def test_resume_rebuilds_only_changed_shards_and_matches_full(spark, tmp_path):
     w = BloomIndexWriter(spark, cfg)
     w.build(base, inc_path)
     s = w.build(base.unionByName(extra), inc_path, resume=True)
-    assert 0 < s["built"] <= 8
+    # exactly the shards containing appended conversations rebuild
+    touched = {int(r.shard) for r in extra.select(
+        F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int").alias("shard"))
+        .distinct().collect()}
+    assert s["built"] == len(touched)
+    assert s["skipped"] == 8 - len(touched)
     # full rebuild oracle
     full_path = str(tmp_path / "full")
     w.build(base.unionByName(extra), full_path)
@@ -273,3 +284,6 @@ def test_resume_rebuilds_only_changed_shards_and_matches_full(spark, tmp_path):
     b = set(map(tuple, rf.search(toks).select("conv_id", "turn_idx")
                 .toPandas().itertuples(index=False)))
     assert a == b
+    # old AND new conversations are both visible through the grown index
+    assert any(c.startswith("x") for c, _ in a)
+    assert any(not c.startswith("x") for c, _ in a)
