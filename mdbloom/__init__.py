@@ -21,5 +21,12 @@ population of Bloom filters, §Container.java:60-93) as:
 from mdbloom.shape import Shape
 from mdbloom.hashing import token_hash_pair, km_bit_positions
 
-__all__ = ["Shape", "token_hash_pair", "km_bit_positions"]
+__all__ = ["Shape", "token_hash_pair", "km_bit_positions", "EwahBitmap"]
+
+
+def __getattr__(name):  # lazy: keep base import numpy-only
+    if name == "EwahBitmap":
+        from mdbloom.ewah import EwahBitmap
+        return EwahBitmap
+    raise AttributeError(name)
 __version__ = "0.1.0"

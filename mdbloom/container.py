@@ -401,6 +401,120 @@ class Trie4Index(BaseIndex):
         return len(self._key_filter)
 
 
+class BlockedSetIndex(BaseIndex):
+    """Byte-granular posting index — re-expression of the reference's
+    BlockedSetIndex (`BlockedSetIndex.java:51-314`): instead of per-BIT
+    postings (RangePacked) it keeps one posting bitset per (byte
+    position, nonzero byte VALUE) pair (`:39-49,95-99,129-136`). Insert
+    decomposes the filter into bytes and sets the filter's slot in each
+    nonzero byte's posting (`:146-197`). Search: for every nonzero query
+    byte, OR the postings of all byte values that CONTAIN it (the
+    precomputed ``byteTable`` superset expansion, `:74-90` — value v
+    matches query q iff ``(v & q) == q``), then AND across byte
+    positions, early-exiting on empty (`:243-292`). Exact get is the
+    content-addressed map lookup (`:138-143`).
+
+    Reference quirks intentionally NOT replicated (SURVEY §2.3): a query
+    byte whose block has no postings yields the empty set instead of an
+    NPE (`:261-262` unguarded), and an all-zero-byte query falls through
+    to match-everything semantics at the container level rather than
+    NPE-ing (`:290`). Slots are recycled through a free list like
+    FlatBloofi."""
+
+    _SUP: list[list[int]] | None = None  # byteTable, built once per process
+
+    def __init__(self, shape: Shape):
+        super().__init__(shape)
+        if BlockedSetIndex._SUP is None:
+            BlockedSetIndex._SUP = [
+                [v for v in range(1, 256) if (v & q) == q]
+                for q in range(256)]
+        self.n_bytes = (shape.m + 7) // 8
+        # one {byte_value: posting-bitset-of-slots} dict per byte position
+        self._postings: list[dict[int, int]] = [
+            {} for _ in range(self.n_bytes)]
+        self._busy = 0                      # live-slot bitset
+        self._free: list[int] = []
+        self._n_slots = 0                   # high-water mark
+        self._slot_key: dict[int, str] = {}
+        self._key_slot: dict[str, int] = {}
+        self._key_bytes: dict[str, bytes] = {}
+
+    def _filter_bytes(self, filt: np.ndarray) -> bytes:
+        return B.to_bytes(filt)[: self.n_bytes]
+
+    def get(self, filt):
+        # content-addressed lookup (BlockedSetIndex.java:138-143)
+        key = self.create(filt)
+        return key if key in self._key_slot else None
+
+    def put(self, key, filt):
+        if key in self._key_slot:
+            return  # content-addressed dedup, like every reference index
+        slot = self._free.pop() if self._free else self._n_slots
+        if slot == self._n_slots:
+            self._n_slots += 1
+        fb = self._filter_bytes(filt)
+        mask = 1 << slot
+        for pos, v in enumerate(fb):
+            if v:
+                block = self._postings[pos]
+                block[v] = block.get(v, 0) | mask
+        self._busy |= mask
+        self._slot_key[slot] = key
+        self._key_slot[key] = slot
+        self._key_bytes[key] = fb
+
+    def remove(self, key):
+        slot = self._key_slot.pop(key, None)
+        if slot is None:
+            return
+        fb = self._key_bytes.pop(key)
+        clear = ~(1 << slot)
+        for pos, v in enumerate(fb):
+            if v:
+                block = self._postings[pos]
+                left = block[v] & clear
+                if left:
+                    block[v] = left
+                else:
+                    del block[v]
+        self._busy &= clear
+        del self._slot_key[slot]
+        self._free.append(slot)
+
+    def search(self, filt):
+        qb = self._filter_bytes(filt)
+        answer = self._busy
+        for pos, q in enumerate(qb):
+            if not q:
+                continue  # only nonzero query bytes constrain
+            block = self._postings[pos]
+            union = 0
+            for v in BlockedSetIndex._SUP[q]:
+                p = block.get(v)
+                if p:
+                    union |= p
+            answer &= union
+            if not answer:
+                return []  # early exit (BlockedSetIndex.java:271-285)
+        out = []
+        while answer:
+            low = answer & -answer
+            out.append(self._slot_key[low.bit_length() - 1])
+            answer ^= low
+        return out
+
+    def get_all(self):
+        return list(self._key_slot)
+
+    @property
+    def filter_count(self):
+        # live slots only (busy cardinality, the RangePacked.java:195-198
+        # behavior — not FlatBloofi's deleted-slot quirk)
+        return len(self._key_slot)
+
+
 def _trie8(shape: Shape) -> Trie4Index:
     """8-bit-chunk trie — the reference's Trie8 geometry
     (`Trie8.java:57-73`: byteTable superset expansion over 2^8 chunk
@@ -415,6 +529,7 @@ INDEX_STRATEGIES = {
     "tree": TriePrunedIndex,
     "trie4": Trie4Index,
     "trie8": _trie8,
+    "blocked": BlockedSetIndex,
 }
 
 

@@ -71,6 +71,24 @@ def test_search_linear_many_empty_query_matches_all(spark, reader):
     assert (out["query"] == "none").sum() == 0
 
 
+def test_search_linear_many_forall_form_matches_when_chain(
+        spark, reader, monkeypatch):
+    """The two JVM physical forms (codegen when-chain vs struct-array +
+    higher-order forall) must be interchangeable."""
+    from mdbloom.spark import query as Q
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "every": [],
+    }
+    cols = ["query", "conv_id", "turn_idx"]
+    chain = reader.search_linear_many(queries).toPandas()
+    monkeypatch.setattr(Q, "WHEN_CHAIN_MAX_PREDS", 0)
+    hof = reader.search_linear_many(queries).toPandas()
+    assert set(map(tuple, chain[cols].itertuples(index=False))) \
+        == set(map(tuple, hof[cols].itertuples(index=False)))
+
+
 def _turn_tokens(row) -> list:
     import pandas as pd
     toks = [f"role={row.role}"]
