@@ -93,6 +93,30 @@ def contains(stored: np.ndarray, query: np.ndarray) -> np.ndarray:
     return np.all((stored & query) == query, axis=1)
 
 
+def nonzero_words(query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(word indices, word values) of a packed filter's nonzero words —
+    the sparse form of a query. A Bloom query sets only ~k·tokens bits,
+    so at large m almost every word is zero; containment tests need only
+    the nonzero ones."""
+    idx = np.flatnonzero(query)
+    return idx, query[idx]
+
+
+def contains_words(stored: np.ndarray, idx: np.ndarray,
+                   vals: np.ndarray) -> np.ndarray:
+    """Sparse superset test: :func:`contains` restricted to the query's
+    nonzero words (``idx``, ``vals`` from :func:`nonzero_words`).
+    Identical result, but touches ``N × |idx|`` words instead of the full
+    ``N × W`` matrix — at a population-sized gate (m ≈ 2²⁰, W = 16384) a
+    few-token query reads ~2000× less memory, which keeps batched query
+    planning off the DRAM-bandwidth hot path. Empty query ⇒ all True."""
+    if stored.ndim == 1:
+        return bool(np.all((stored[idx] & vals) == vals))
+    if idx.size == 0:
+        return np.ones(stored.shape[0], dtype=bool)
+    return np.all((stored[:, idx] & vals) == vals, axis=1)
+
+
 def equals(stored: np.ndarray, query: np.ndarray) -> np.ndarray:
     """Bit-for-bit equality (exact-match `get`, `Container.java:60-65`)."""
     if stored.ndim == 1:

@@ -40,9 +40,31 @@ from mdbloom.spark.build import IndexConfig
 
 HIT_SCHEMA = "shard int, slot long"
 
-# search_linear_many: max total word predicates for the codegen when-chain
-# form; larger batches use the O(1)-expression struct-array/forall form
-WHEN_CHAIN_MAX_PREDS = 2048
+# search_linear_many: max total word predicates for the SQL-text literal
+# form (driver parse cost and task-binary size grow ~linearly with preds:
+# ~1.5 s / ~1.1 MiB at 3.8k preds); larger batches switch to the
+# plans-as-data broadcast join, whose plan is O(1) regardless of Q
+SQL_LITERAL_MAX_PREDS = 50_000
+
+
+def _sql_bigint(v: int) -> str:
+    """Bigint literal for SQL text. Word masks use all 64 bits, so a mask
+    whose only set bit is 63 is INT64_MIN — which has no direct literal
+    (the parser sees unary minus on an overflowing positive)."""
+    return "(-9223372036854775807L - 1L)" if v == -(2 ** 63) else f"{v}L"
+
+
+def _plan_struct_sql(name: str, pairs: list[tuple[int, int]]) -> str:
+    """One query plan as SQL text: named_struct('q', <name>, 'ps',
+    [(word_idx, word_mask)...]). An empty pair list (match-all query)
+    needs an explicit cast — ``array()`` alone types as array<null>."""
+    q = name.replace("'", "''")
+    if not pairs:
+        return ("named_struct('q','%s','ps',"
+                "CAST(array() AS array<struct<i:int,v:bigint>>))" % q)
+    ps = ",".join("named_struct('i',%d,'v',%s)" % (i, _sql_bigint(v))
+                  for i, v in pairs)
+    return "named_struct('q','%s','ps',array(%s))" % (q, ps)
 
 
 def _hex_keys(blob: bytes | None) -> np.ndarray:
@@ -252,10 +274,14 @@ class BloomIndexReader:
         keep = np.ones(len(shards), dtype=bool)
         if qbits.size:
             query = B.from_bits(qbits, self.shape.m)
-            keep &= B.contains(summaries, query)
+            keep &= B.contains_words(summaries, *B.nonzero_words(query))
         if tokens and gates is not None:
+            # sparse word test: the gate is population-sized (m ≈ 2²⁰),
+            # so the dense N×W AND would stream ~33 MB per query — a
+            # DRAM-bound 8 ms that dominated batched query PLANNING
+            # (256-query plan loop: 4.5 s → ~0.1 s with the sparse form)
             gq = self._gate_filter(tokens)
-            keep &= B.contains(gates, gq)
+            keep &= B.contains_words(gates, *B.nonzero_words(gq))
         return sorted(int(s) for s in shards[keep])
 
     # ---------------- search ----------------
@@ -463,27 +489,37 @@ class BloomIndexReader:
         over Q queries.
 
         Two JVM-only physical forms, chosen by batch size (measured at
-        200k rows x 256 queries on 8 cores: 4.9 s vs 19.4 s, identical
-        output):
+        4M rows x 256 queries, 8 pinned cores):
 
-        * **when-chain** (default): per query, a whole-stage-codegen
-          conjunction of word predicates inside
-          ``explode(array_compact(array(when(P_q, name)...)))`` — every
-          intermediate lives in a CPU register;
-        * **struct-array + higher-order forall** (large batches): the Q
+        * **SQL-text literal + higher-order forall** (default): the Q
           plans ride as ONE literal array of (name, [(idx, mask)...])
-          structs and a ``filter``/``forall`` evaluates them — O(1)
-          expression size, immune to the codegen/task-binary growth of
-          very large chains (~4 KiB task binary per query measured).
+          structs and a ``filter``/``forall`` keeps the names whose
+          every nonzero word satisfies ``(filter[idx] & mask) == mask``,
+          short-circuiting on the first miss. The whole literal is
+          rendered as a single SQL string and parsed JVM-side by one
+          ``F.expr`` call — building the same tree through the Column
+          API costs ~14 s of py4j round-trips at 256 queries (a fixed
+          DRIVER cost that wrecked N-vs-4N scaling), vs ~1.5 s to parse
+          the text. Exec: 22.6 s. (A per-query whole-stage-codegen
+          when-chain was tried and retired: at thousands of predicates
+          the generated method exceeds the JIT's size threshold and
+          runs as interpreted bytecode — 62–68 s, 3× slower than the
+          interpreted-but-tight forall loop.)
+        * **plans-as-data broadcast join** (very large batches, total
+          preds > ``SQL_LITERAL_MAX_PREDS``): the plans become a tiny
+          broadcast DataFrame and the same forall predicate is the join
+          condition — O(1) plan/task-binary size at any Q, ~1.7× the
+          per-row cost (37 s vs 22.6 s at the measured point).
 
-        Zero Python, zero extra artifact reads (the scan IS storage),
-        zero joins: matching rows explode their matched names in place.
+        Zero Python, zero extra artifact reads (the scan IS storage):
+        matching rows explode their matched names in place.
         Register-resident JVM compute — the scaling-evidence path when
         parallel NumPy/DRAM is the host bottleneck (VERDICT r2 item 1).
         Driver-side gate pruning restricts the scan to the union of the
         per-query shard sets; per-query results stay exact regardless
         (containment is decided by the word predicate alone). Empty
-        queries match everything (`ContainerImpl.java:159-169`)."""
+        queries match everything (`ContainerImpl.java:159-169`): an
+        empty pair list makes ``forall`` vacuously true."""
         if self._jvm_hasher is not None:
             self._jvm_hasher._ensure(
                 {t for toks in queries.values() for t in toks})
@@ -513,32 +549,20 @@ class BloomIndexReader:
             df = df.where(F.col("shard").isin(sorted(all_shards)))
         out_cols = [c for c in df.columns if c != "filter"]
         n_preds = sum(len(p) for _, p in plans)
-        if n_preds <= WHEN_CHAIN_MAX_PREDS:
-            # codegen when-chain (the fast path)
-            terms = []
-            for name, pairs in plans:
-                cond = F.lit(True)
-                for i, v in pairs:
-                    cond = cond & (F.element_at("filter", i)
-                                   .bitwiseAND(F.lit(v)) == F.lit(v))
-                terms.append(F.when(cond, F.lit(name)))
-            matched = F.array_compact(F.array(*terms))
-        else:
-            # literal struct-array + higher-order forall (O(1) expression)
-            qlit = F.array(*[
-                F.struct(
-                    F.lit(name).alias("q"),
-                    F.array(*[F.struct(F.lit(i).alias("i"),
-                                       F.lit(v).alias("v"))
-                              for i, v in pairs]).cast(
-                        "array<struct<i:int,v:bigint>>").alias("ps"))
-                for name, pairs in plans])
-            matched = F.transform(
-                F.filter(qlit, lambda s: F.forall(
-                    s["ps"],
-                    lambda p: F.element_at(F.col("filter"), p["i"])
-                    .bitwiseAND(p["v"]) == p["v"])),
-                lambda s: s["q"])
+        if n_preds > SQL_LITERAL_MAX_PREDS:
+            # plans-as-data broadcast join: O(1) plan size at any Q
+            qdf = self.spark.createDataFrame(
+                plans, "query string, ps array<struct<i:int,v:bigint>>")
+            cond = F.forall("ps", lambda p: F.element_at(
+                F.col("filter"), p["i"]).bitwiseAND(p["v"]) == p["v"])
+            return (df.join(F.broadcast(qdf), cond)
+                    .select("query", *out_cols))
+        # SQL-text literal + forall, one JVM-side parse
+        matched = F.expr(
+            "transform(filter(array(%s), s -> forall(s.ps, "
+            "p -> (element_at(`filter`, p.i) & p.v) = p.v)), s -> s.q)"
+            % ",".join(_plan_struct_sql(name, pairs)
+                       for name, pairs in plans))
         return (df.withColumn("query", F.explode(matched))
                 .select("query", *out_cols))
 

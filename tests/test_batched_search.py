@@ -71,10 +71,12 @@ def test_search_linear_many_empty_query_matches_all(spark, reader):
     assert (out["query"] == "none").sum() == 0
 
 
-def test_search_linear_many_forall_form_matches_when_chain(
+def test_search_linear_many_bnlj_form_matches_sql_literal(
         spark, reader, monkeypatch):
-    """The two JVM physical forms (codegen when-chain vs struct-array +
-    higher-order forall) must be interchangeable."""
+    """The two JVM physical forms (SQL-text literal + forall vs
+    plans-as-data broadcast join) must be interchangeable — including a
+    match-all (empty) query, which each form handles differently
+    (CAST(array()...) literal vs vacuous join condition)."""
     from mdbloom.spark import query as Q
     queries = {
         "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
@@ -82,11 +84,19 @@ def test_search_linear_many_forall_form_matches_when_chain(
         "every": [],
     }
     cols = ["query", "conv_id", "turn_idx"]
-    chain = reader.search_linear_many(queries).toPandas()
-    monkeypatch.setattr(Q, "WHEN_CHAIN_MAX_PREDS", 0)
-    hof = reader.search_linear_many(queries).toPandas()
-    assert set(map(tuple, chain[cols].itertuples(index=False))) \
-        == set(map(tuple, hof[cols].itertuples(index=False)))
+    lit = reader.search_linear_many(queries).toPandas()
+    monkeypatch.setattr(Q, "SQL_LITERAL_MAX_PREDS", 0)
+    bnlj = reader.search_linear_many(queries).toPandas()
+    assert set(map(tuple, lit[cols].itertuples(index=False))) \
+        == set(map(tuple, bnlj[cols].itertuples(index=False)))
+
+
+def test_sql_bigint_min_long_and_quote_escape():
+    from mdbloom.spark.query import _plan_struct_sql, _sql_bigint
+    assert _sql_bigint(-(2 ** 63)) == "(-9223372036854775807L - 1L)"
+    assert _sql_bigint(-1) == "-1L"
+    s = _plan_struct_sql("o'brien", [(1, -(2 ** 63))])
+    assert "o''brien" in s and "(-9223372036854775807L - 1L)" in s
 
 
 def _turn_tokens(row) -> list:

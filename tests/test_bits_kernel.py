@@ -51,6 +51,22 @@ def test_contains_and_equals():
     assert B.equals(a, a) and not B.equals(a, sub)
 
 
+def test_contains_words_matches_dense_contains():
+    rng = np.random.default_rng(7)
+    m = 4096
+    stored = np.stack([B.from_bits(
+        np.unique(rng.integers(0, m, 60)), m) for _ in range(32)])
+    for nbits in (0, 1, 5, 40):
+        q = B.from_bits(np.unique(rng.integers(0, m, nbits)), m) \
+            if nbits else B.from_bits(np.empty(0, dtype=np.int64), m)
+        dense = B.contains(stored, q)
+        sparse = B.contains_words(stored, *B.nonzero_words(q))
+        assert np.array_equal(dense, sparse)
+        one = stored[0]
+        assert B.contains(one, q) == B.contains_words(
+            one, *B.nonzero_words(q))
+
+
 def test_merge_or_is_associative_commutative_idempotent():
     packed, _ = rand_filters(3, 200)
     a, b, c = packed
