@@ -540,6 +540,47 @@ def q31_bloom_search_linear_many(spark, sf_dir):
     return verified.select("query", "doc_id").orderBy("query", "doc_id")
 
 
+def q32_remove_exact_search(spark, sf_dir):
+    """Reference `remove` parity at the driver-contract level
+    (`ContainerImpl.java:134-153` / `ContainerImplTest.java:109-132`):
+    build a transcript index, exact-remove ONE deterministic value (the
+    first hit of the flagship search, by its full reconstructed token
+    set — stored filter must match bit-for-bit AND the id must match),
+    then re-run the search. Tombstone semantics are thereby checked by
+    an independent ANSI-SQL oracle: q24's rows minus the first.
+    Idempotent across runs (re-removing an absent value is a no-op)."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=4096)
+    ckey = hashlib.md5(cfg.to_json().encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"removal_idx_{ckey}")
+    writer = BloomIndexWriter(spark, cfg)
+    writer.build(df, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    toks = r.transcript_query_tokens("assistant", "Bash", ["w00002"])
+    # victim derived from the SOURCE table (not the index state), so
+    # re-running is a true no-op: the same value is already tombstoned
+    w = F.split(F.trim("text"), r"\s+")
+    victim = (df.where((F.col("role") == "assistant")
+                       & (F.col("tool") == "Bash")
+                       & F.array_contains(w, "w00002"))
+              .select("conv_id", "turn_idx", "role", "tool", "text")
+              .orderBy("conv_id", "turn_idx").head())
+    vtoks = ([f"role={victim.role}"] if victim.role else []) \
+        + ([f"tool={victim.tool}"] if victim.tool else []) \
+        + [f"tok={w}" for w in victim.text.split()]
+    writer.remove_exact(
+        vtoks,
+        spark.createDataFrame([(victim.conv_id, victim.turn_idx)],
+                              "conv_id string, turn_idx int"), path)
+    return (r.search_verified(toks, df)
+            .select("conv_id", "turn_idx", "role", "tool")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -573,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_bloom_search_linear": q29_bloom_search_linear,
         "q30_bloom_get_many": q30_bloom_get_many,
         "q31_bloom_search_linear_many": q31_bloom_search_linear_many,
+        "q32_remove_exact_search": q32_remove_exact_search,
     }
 
 
@@ -874,6 +916,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'de'
               AND list_contains({_WORDS}, 'stream')
             ORDER BY query, doc_id
+        """,
+        # q32: exact-remove of the FIRST flagship hit, then the same
+        # verified search — the oracle derives the removed (conv_id,
+        # turn_idx) itself (min over the hit set), so no ids are
+        # hardcoded; tombstone semantics checked as an anti-join.
+        "q32_remove_exact_search": rf"""
+            WITH hits AS (
+                SELECT conv_id, turn_idx, role, tool
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+                WHERE role = 'assistant' AND tool = 'Bash'
+                  AND list_contains(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        'w00002')),
+            victim AS (
+                SELECT conv_id, turn_idx FROM hits
+                ORDER BY conv_id, turn_idx LIMIT 1)
+            SELECT h.conv_id, h.turn_idx, h.role, h.tool
+            FROM hits h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM victim v
+                WHERE v.conv_id = h.conv_id AND v.turn_idx = h.turn_idx)
+            ORDER BY h.conv_id, h.turn_idx
         """,
         # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
         # Bloom search (includes designed-rate false positives), q18/q20/
