@@ -72,6 +72,35 @@ def query_slab(slab: np.ndarray, query_bits: np.ndarray, n_slots: int) -> np.nda
     return hits.astype(np.int64)
 
 
+def query_slab_batch(slab: np.ndarray, bits_concat: np.ndarray,
+                     offsets: np.ndarray,
+                     n_slots: int) -> tuple[np.ndarray, np.ndarray]:
+    """Q containment queries against ONE slab in one vectorized pass —
+    the batched form of :func:`query_slab` (`FlatBloofi.java:188-205`
+    amortized over a query batch).
+
+    ``bits_concat`` is every query's bit positions concatenated;
+    ``offsets[q]`` is where query q's segment starts (reduceat
+    convention: segment q = ``bits_concat[offsets[q]:offsets[q+1]]``).
+    Every segment must be non-empty — empty (match-all) queries are
+    handled at the container level, not here. One row gather + one
+    ``bitwise_and.reduceat`` + one 2-D unpack replaces the per-query
+    Python loop: returns (query_idx, slot) pairs for every hit."""
+    if n_slots == 0 or offsets.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    rows = slab[bits_concat]                       # (K_total, S) gather
+    acc = np.bitwise_and.reduceat(rows, offsets, axis=0)   # (Q, S)
+    live = acc.any(axis=1)                         # early-exit rows
+    if not live.any():
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    hitmat = B.unpack(acc[live], n_slots)          # (Q_live, n_slots)
+    li, slots = np.nonzero(hitmat)
+    q_idx = np.flatnonzero(live)[li]
+    return q_idx.astype(np.int64), slots.astype(np.int64)
+
+
 def query_slab_exact(slab: np.ndarray, query: np.ndarray, m: int,
                      n_slots: int) -> np.ndarray:
     """Exact (bit-for-bit) match against a slab: all query bits set AND all

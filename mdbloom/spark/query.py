@@ -373,44 +373,58 @@ class BloomIndexReader:
         if not plans:
             return all_part
         m = self.shape.m
-        plans_l = {k: (v[0], v[1]) for k, v in plans.items()}
+        # per-shard batched plan: the queries that survived pruning for
+        # shard s, as ONE concatenated bit array + reduceat offsets, so
+        # the executor evaluates all of them with a single vectorized
+        # kernel call per slab chunk instead of a Python loop over Q
+        shard_entries: dict[int, list] = {}
+        for name, (qb, shards) in plans.items():
+            for s in shards:
+                shard_entries.setdefault(s, []).append((name, qb))
+        shard_plans = {}
+        for s, entries in shard_entries.items():
+            offs, concat = [], []
+            for _, qb in entries:
+                offs.append(len(concat))
+                concat.extend(qb)
+            shard_plans[s] = ([n for n, _ in entries], concat, offs)
         slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
         with_keys = "keys_blob" in slabs.columns
 
         def scan(iterator):
+            cache = {
+                s: (np.asarray(names, dtype=object),
+                    np.asarray(concat, dtype=np.int64),
+                    np.asarray(offs, dtype=np.int64))
+                for s, (names, concat, offs) in shard_plans.items()}
             for pdf in iterator:
                 outs = []
                 for _, row in pdf.iterrows():
-                    shard = int(row["shard"])
-                    slab = None
-                    keys_arr = None
-                    for name, (qb, shards) in plans_l.items():
-                        if shard not in shards:
-                            continue
-                        if slab is None:
-                            slab = np.frombuffer(row["slab"], dtype=B.U64) \
-                                .reshape(m, -1)
-                            if with_keys:
-                                blob = row["keys_blob"]
-                                if blob is None:  # mixed-format artifact
-                                    raise ValueError(
-                                        "slab row lacks keys_blob: index "
-                                        "mixes on-disk formats; rebuild "
-                                        "(resume forces this via config "
-                                        "format_version)")
-                                keys_arr = _hex_keys(blob)
-                        hits = K.query_slab(slab,
-                                            np.asarray(qb, dtype=np.int64),
-                                            int(row["n_slots"]))
-                        if hits.size:
-                            out = {
-                                "query": name,
-                                "shard": shard,
-                                "slot": hits + int(row["slot_lo"]),
-                            }
-                            if with_keys:
-                                out["key"] = keys_arr[hits]
-                            outs.append(pd.DataFrame(out))
+                    plan = cache.get(int(row["shard"]))
+                    if plan is None:
+                        continue
+                    names_arr, concat, offs = plan
+                    slab = np.frombuffer(row["slab"], dtype=B.U64) \
+                        .reshape(m, -1)
+                    q_idx, slots = K.query_slab_batch(
+                        slab, concat, offs, int(row["n_slots"]))
+                    if q_idx.size == 0:
+                        continue
+                    out = {
+                        "query": names_arr[q_idx],
+                        "shard": int(row["shard"]),
+                        "slot": slots + int(row["slot_lo"]),
+                    }
+                    if with_keys:
+                        blob = row["keys_blob"]
+                        if blob is None:  # mixed-format artifact
+                            raise ValueError(
+                                "slab row lacks keys_blob: index "
+                                "mixes on-disk formats; rebuild "
+                                "(resume forces this via config "
+                                "format_version)")
+                        out["key"] = _hex_keys(blob)[slots]
+                    outs.append(pd.DataFrame(out))
                 if outs:
                     yield pd.concat(outs)
 

@@ -192,6 +192,46 @@ def test_query_slab_empty_query_matches_all():
                           np.arange(10))
 
 
+def test_query_slab_batch_matches_looped_query_slab():
+    m = 128
+    rng = np.random.default_rng(7)
+    packed, _ = rand_filters(500, m, density=0.2)
+    slab = K.build_slab(packed, m)
+    queries = []
+    for q in range(40):
+        k = int(rng.integers(1, 9))
+        queries.append(np.sort(rng.choice(m, size=k, replace=False))
+                       .astype(np.int64))
+    # a guaranteed-hit query and a near-impossible one
+    queries.append(np.flatnonzero(B.unpack(packed[3], m)).astype(np.int64))
+    queries.append(np.arange(m, dtype=np.int64))
+    offs, concat = [], []
+    for qb in queries:
+        offs.append(len(concat))
+        concat.extend(qb.tolist())
+    q_idx, slots = K.query_slab_batch(
+        slab, np.asarray(concat, dtype=np.int64),
+        np.asarray(offs, dtype=np.int64), 500)
+    got = {}
+    for qi, sl in zip(q_idx, slots):
+        got.setdefault(int(qi), []).append(int(sl))
+    for i, qb in enumerate(queries):
+        expect = K.query_slab(slab, qb, 500).tolist()
+        assert got.get(i, []) == expect, f"query {i} mismatch"
+
+
+def test_query_slab_batch_empty_inputs():
+    m = 64
+    packed, _ = rand_filters(10, m)
+    slab = K.build_slab(packed, m)
+    q_idx, slots = K.query_slab_batch(
+        slab, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), 10)
+    assert q_idx.size == 0 and slots.size == 0
+    q_idx, slots = K.query_slab_batch(
+        slab, np.array([0], dtype=np.int64), np.array([0], dtype=np.int64), 0)
+    assert q_idx.size == 0 and slots.size == 0
+
+
 def test_query_slab_exact():
     m = 58
     f1 = B.from_bits(np.array([29, 13]), m)
