@@ -939,10 +939,48 @@ def oracle_sql() -> dict[str, str]:
                 WHERE v.conv_id = h.conv_id AND v.turn_idx = h.turn_idx)
             ORDER BY h.conv_id, h.turn_idx
         """,
+        # q23: the stub decoder hashes the payload's lowercase-hex form,
+        # so DuckDB recomputes the whole chain bit-for-bit: synthesize
+        # payload = sha256('42:'||i) bytes repeated (4 + i%4) times, hash
+        # with VARCHAR md5, decode hex-pair bytes 0..3 via strpos
+        # arithmetic, apply the video frame-sampling rule (//10).
+        "q23_multimodal_features": """
+            WITH media AS (
+                SELECT range AS media_id,
+                       CASE CAST(range % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       repeat(unhex(sha256('42:' || range)),
+                              CAST(4 + range % 4 AS INT)) AS payload
+                FROM range(0, 128)),
+            h AS (
+                SELECT media_id, kind,
+                       md5(lower(hex(payload))) AS hx
+                FROM media),
+            b AS (
+                SELECT media_id, kind,
+                       (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1 AS b0,
+                       (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substring(hx, 4, 1)) - 1 AS b1,
+                       (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substring(hx, 6, 1)) - 1 AS b2,
+                       (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substring(hx, 8, 1)) - 1 AS b3
+                FROM h)
+            SELECT media_id, kind,
+                   CAST(16 + b0 % 64 AS INT) AS height,
+                   CAST(16 + b1 % 64 AS INT) AS width,
+                   CAST(1 + b2 % 3 AS INT) AS channels,
+                   CAST(CASE WHEN kind = 'image' THEN 1
+                             WHEN kind = 'video'
+                                THEN greatest(1, (1 + b3 % 120) // 10)
+                             ELSE 1 + b3 % 120 END AS INT) AS n_frames
+            FROM b ORDER BY media_id
+        """,
         # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
         # Bloom search (includes designed-rate false positives), q18/q20/
         # q21 sketch estimators (error-bounded, not value-deterministic in
-        # SQL), q22 ANN (probabilistic recall), q23 multimodal (stub
-        # decoder), q28 cosine near-dup pairs (probabilistic recall).
+        # SQL), q22 ANN (probabilistic recall), q28 cosine near-dup pairs
+        # (probabilistic recall).
         # Accuracy bounds for all of them are asserted in tests/.
     }

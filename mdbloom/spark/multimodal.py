@@ -28,8 +28,13 @@ FEATURE_SCHEMA = ("media_id long, kind string, height int, width int, "
 
 def fake_decoder(payload: bytes, kind: str) -> dict:
     """Deterministic stand-in decoder: derives plausible media properties
-    from a hash of the payload. NOT a real codec — clearly marked."""
-    h = hashlib.md5(payload).digest()
+    from a hash of the payload. NOT a real codec — clearly marked.
+
+    Hashes the lowercase-hex form of the payload (not the raw bytes) so
+    an ANSI-SQL oracle can recompute every property bit-for-bit:
+    DuckDB's md5() is VARCHAR-only, and ``md5(lower(hex(payload)))``
+    there equals ``md5(payload.hex())`` here."""
+    h = hashlib.md5(payload.hex().encode()).digest()
     return {
         "height": 16 + h[0] % 64,
         "width": 16 + h[1] % 64,
