@@ -108,6 +108,17 @@ class BloomIndexReader:
             self._gate_cache = TokenMaskCache(self.cfg.gate_shape)
         self._manifest: pd.DataFrame | None = None
         self._prune_state: tuple | None = None
+        # snapshot caches: a reader pins the slab/storage FILE LISTING at
+        # first access (three driver-side spark.read.parquet listings cost
+        # ~2 s per query batch otherwise — the dominant SERIAL fraction of
+        # batched-search latency, hence the measured scaling-efficiency
+        # ceiling). Tombstones stay live (re-listed per call): remove()/
+        # remove_exact() only append tombstones, so a long-lived reader
+        # sees deletes immediately; slab/storage REWRITES (build/compact)
+        # need a fresh reader — the snapshot-read semantics a real query
+        # service wants anyway.
+        self._slabs_df: DataFrame | None = None
+        self._storage_base: DataFrame | None = None
 
     # ---------------- tables ----------------
     def _tombstones(self) -> DataFrame | None:
@@ -129,7 +140,10 @@ class BloomIndexReader:
         surface here as no rows, exactly like a Bloom false positive, so
         search soundness holds. ``keep_filter`` retains the stored
         filter-words column (used by :meth:`search_linear`)."""
-        df = self.spark.read.parquet(os.path.join(self.path, "storage"))
+        if self._storage_base is None:
+            self._storage_base = self.spark.read.parquet(
+                os.path.join(self.path, "storage"))
+        df = self._storage_base
         if "filter" in df.columns and not keep_filter:
             df = df.drop("filter")  # at-rest column for slab build / I1
         dead = self._tombstones()
@@ -169,7 +183,10 @@ class BloomIndexReader:
                                  schema="shard int, slot long, key string")
 
     def slabs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "slabs"))
+        if self._slabs_df is None:
+            self._slabs_df = self.spark.read.parquet(
+                os.path.join(self.path, "slabs"))
+        return self._slabs_df
 
     def manifest(self) -> pd.DataFrame:
         """Driver-resident pruning tree (one row per shard; tiny)."""
