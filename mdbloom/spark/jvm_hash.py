@@ -192,16 +192,101 @@ def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
 
 # ---------------------------------------------------------------- driver mirror
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 over ``data`` (unsigned result) — the same
+    algorithm Spark's ``xxhash64`` runs (XxHash64.hashUnsafeBytes /
+    hashLong), so the driver can plan queries without a hash job.
+    Verified bit-for-bit against ``F.xxhash64`` in
+    tests/test_bits_kernel.py."""
+    import struct
+    seed &= _U64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _U64
+        v2 = (seed + _P2) & _U64
+        v3 = seed
+        v4 = (seed - _P1) & _U64
+        while i + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl((v1 + l1 * _P2) & _U64, 31) * _P1) & _U64
+            v2 = (_rotl((v2 + l2 * _P2) & _U64, 31) * _P1) & _U64
+            v3 = (_rotl((v3 + l3 * _P2) & _U64, 31) * _P1) & _U64
+            v4 = (_rotl((v4 + l4 * _P2) & _U64, 31) * _P1) & _U64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _U64, 31) * _P1) & _U64
+            h = (h * _P1 + _P4) & _U64
+    else:
+        h = (seed + _P5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        k, = struct.unpack_from("<Q", data, i)
+        k = (_rotl((k * _P2) & _U64, 31) * _P1) & _U64
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _U64
+        i += 8
+    if i + 4 <= n:
+        k, = struct.unpack_from("<I", data, i)
+        h = (_rotl(h ^ ((k * _P1) & _U64), 23) * _P2 + _P3) & _U64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _U64), 11) * _P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _U64
+    h ^= h >> 29
+    h = (h * _P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def spark_xxhash64_pair(token: str) -> tuple[int, int]:
+    """The (h1, h2) = (xxhash64(t), xxhash64(t, 1)) pair exactly as the
+    build's SQL expressions compute it: h1 = XXH64(utf8, seed=42); the
+    second column chains — the IntegerType literal 1 is hashed (4 LE
+    bytes, Spark's hashInt) with h1 as the seed. Signed-long results,
+    matching Spark (empirically verified incl. multibyte UTF-8)."""
+    import struct
+    h1 = _xxh64(token.encode("utf-8"), 42)
+    h2 = _xxh64(struct.pack("<i", 1), h1)
+    return _signed(h1), _signed(h2)
+
+
 class JvmTokenHasher:
     """Driver-side bit-exact mirror of the JVM expressions, for query
-    planning: token -> (h1, h2) via one tiny Spark job (memoized), then
-    the same enhanced-double-hashing arithmetic in NumPy."""
+    planning: token -> (h1, h2) via the local XXH64 mirror (no Spark
+    job — a batch's whole plan stays driver-resident, the serial-
+    fraction shape a 1000-executor cluster needs), then the same
+    enhanced-double-hashing arithmetic in NumPy."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._hashes: dict[str, tuple[int, int]] = {}
 
     def _ensure(self, tokens) -> None:
+        for t in tokens:
+            if t not in self._hashes:
+                self._hashes[t] = spark_xxhash64_pair(t)
+
+    def _ensure_spark(self, tokens) -> None:
+        """The retired job-based path, kept for the parity test."""
         missing = sorted({t for t in tokens if t not in self._hashes})
         if not missing:
             return

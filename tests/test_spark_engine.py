@@ -287,3 +287,29 @@ def test_resume_rebuilds_only_changed_shards_and_matches_full(spark, tmp_path):
     # old AND new conversations are both visible through the grown index
     assert any(c.startswith("x") for c, _ in a)
     assert any(not c.startswith("x") for c, _ in a)
+
+
+def test_local_xxh64_mirror_matches_spark(spark):
+    """The driver's pure-Python XXH64 mirror must be bit-identical to the
+    JVM xxhash64 expressions the build uses — the query planner hashes
+    tokens locally (no hash job) on the strength of this parity."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mdbloom.spark.jvm_hash import spark_xxhash64_pair
+
+    rng = random.Random(1234)
+    toks = ["", "a", "=", "role=assistant", "tool=Bash", "tok=w00000",
+            "ünïcødé-日本語-\U00010348",
+            " zero", " spaces  inside "]
+    toks += ["x" * n for n in (3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32,
+                               33, 63, 64, 65)]
+    toks += ["".join(chr(rng.randint(32, 0x2FA0)) for _ in
+                     range(rng.randint(1, 48))) for _ in range(60)]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    rows = df.select("t", F.xxhash64("t").alias("h1"),
+                     F.xxhash64("t", F.lit(1)).alias("h2")).collect()
+    assert len(rows) == len(toks)
+    for r in rows:
+        assert spark_xxhash64_pair(r.t) == (r.h1, r.h2), repr(r.t)
