@@ -581,6 +581,66 @@ def q32_remove_exact_search(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+def _flagship_reader(spark: SparkSession):
+    """Build (or resume) the flagship transcript index entry() uses and
+    return its reader."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=4096)
+    ckey = hashlib.md5(cfg.to_json().encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"flagship_idx_{ckey}")
+    BloomIndexWriter(spark, cfg).build(df, path, resume=True)
+    return BloomIndexReader(spark, path), df
+
+
+def q33_search_verified_many(spark, sf_dir):
+    """Batched verified containment search (`search_verified_many`):
+    several multidimensional membership queries answered in ONE index
+    scan + ONE source join + ONE all-JVM verification pass (broadcast
+    query-spec table, higher-order forall token predicate) — the
+    Q-at-once form of the flagship q24 (`ContainerImpl.java:155-182`
+    amortized over a batch). Oracle = UNION ALL of per-query verified
+    selects over the same stored parquet."""
+    r, df = _flagship_reader(spark)
+    qs = {
+        "bash_w2": r.transcript_query_tokens("assistant", "Bash",
+                                             ["w00002"]),
+        "user_w0": r.transcript_query_tokens("user", None, ["w00000",
+                                                            "w00003"]),
+        "grep_w1": r.transcript_query_tokens(None, "Grep", ["w00001"]),
+        "absent": r.transcript_query_tokens(None, None, ["zzqnope"]),
+    }
+    return (r.search_verified_many(qs, df)
+            .select("query", "conv_id", "turn_idx", "role", "tool")
+            .orderBy("query", "conv_id", "turn_idx"))
+
+
+def q34_novelty_filter(spark, sf_dir):
+    """Cross-run novelty filter (`novel_rows`): which rows of an incoming
+    batch are definitely NOT in the index — the training-pipeline
+    pre-ingest dedup the Bloom engine exists for, inverted from exact
+    get (`ContainerImpl.java:111-122`) and batched: the batch's content
+    keys are computed with the build's own codegen expressions, then one
+    left-anti join against live storage. The probe batch is half
+    already-indexed rows (must drop out) and half token-mutated copies
+    (must survive); the oracle recomputes novelty as token-SET
+    non-membership in ANSI SQL."""
+    r, df = _flagship_reader(spark)
+    base = df.where((F.col("turn_idx") == 0)
+                    & (F.col("conv_id") < "conv00000040"))
+    mutated = (base.withColumn("text", F.concat(F.col("text"),
+                                                F.lit(" zznovel")))
+               .withColumn("conv_id", F.concat(F.lit("nv_"),
+                                               F.col("conv_id"))))
+    probe = base.unionByName(mutated)
+    return (r.novel_rows(probe)
+            .select("conv_id", "turn_idx", "role")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -615,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_bloom_get_many": q30_bloom_get_many,
         "q31_bloom_search_linear_many": q31_bloom_search_linear_many,
         "q32_remove_exact_search": q32_remove_exact_search,
+        "q33_search_verified_many": q33_search_verified_many,
+        "q34_novelty_filter": q34_novelty_filter,
     }
 
 
@@ -938,6 +1000,67 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM victim v
                 WHERE v.conv_id = h.conv_id AND v.turn_idx = h.turn_idx)
             ORDER BY h.conv_id, h.turn_idx
+        """,
+        # q33: batched verified search == UNION ALL of per-query verified
+        # containment selects (the absent query contributes zero rows)
+        "q33_search_verified_many": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet'))
+            SELECT * FROM (
+                SELECT 'bash_w2' AS query, conv_id, turn_idx, role, tool
+                FROM t
+                WHERE role = 'assistant' AND tool = 'Bash'
+                  AND list_contains(ws, 'w00002')
+                UNION ALL
+                SELECT 'user_w0', conv_id, turn_idx, role, tool FROM t
+                WHERE role = 'user'
+                  AND list_contains(ws, 'w00000')
+                  AND list_contains(ws, 'w00003')
+                UNION ALL
+                SELECT 'grep_w1', conv_id, turn_idx, role, tool FROM t
+                WHERE tool = 'Grep' AND list_contains(ws, 'w00001'))
+            ORDER BY query, conv_id, turn_idx
+        """,
+        # q34: novelty == token-SET non-membership. A row's content key is
+        # determined by (role, tool-unless-none/null, distinct word set),
+        # so the oracle rebuilds the same probe batch from the stored
+        # parquet and keeps rows whose identity triple matches NO indexed
+        # row (IS NOT DISTINCT FROM handles the null tool of user turns).
+        "q34_novelty_filter": rf"""
+            WITH t AS (
+                SELECT * FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')),
+            base AS (
+                SELECT conv_id, turn_idx, role, text, tool FROM t
+                WHERE turn_idx = 0 AND conv_id < 'conv00000040'),
+            probe AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT 'nv_' || conv_id, turn_idx, role,
+                       text || ' zznovel', tool FROM base),
+            psets AS (
+                SELECT conv_id, turn_idx, role,
+                       CASE WHEN tool IS NULL OR tool = 'none'
+                            THEN NULL ELSE tool END AS tool_n,
+                       list_sort(list_distinct(regexp_split_to_array(
+                           trim(text), '\s+'))) AS ws
+                FROM probe),
+            isets AS (
+                SELECT role,
+                       CASE WHEN tool IS NULL OR tool = 'none'
+                            THEN NULL ELSE tool END AS tool_n,
+                       list_sort(list_distinct(regexp_split_to_array(
+                           trim(text), '\s+'))) AS ws
+                FROM t)
+            SELECT p.conv_id, p.turn_idx, p.role
+            FROM psets p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM isets i
+                WHERE i.role = p.role
+                  AND i.tool_n IS NOT DISTINCT FROM p.tool_n
+                  AND i.ws = p.ws)
+            ORDER BY p.conv_id, p.turn_idx
         """,
         # q23: the stub decoder hashes the payload's lowercase-hex form,
         # so DuckDB recomputes the whole chain bit-for-bit: synthesize

@@ -624,6 +624,55 @@ class BloomIndexReader:
                 out = out.where(F.col(tag) == val)
         return out
 
+    def search_verified_many(self, queries: dict, source_df: DataFrame,
+                             via: str = "slab") -> DataFrame:
+        """Batched verified search: ``{name: [tokens...]}`` -> source rows
+        tagged by query, Bloom false positives removed — the Q-at-once
+        form of :meth:`search_verified` (one index scan, one source join,
+        one verification pass for the whole batch).
+
+        Verification is data-driven and all-JVM: a broadcast (query ->
+        spec) table joins onto the candidate rows, and one codegen
+        predicate re-checks every tag equality plus a higher-order
+        ``forall`` token containment — no per-query plan nodes, so the
+        verified path scales to broad batches exactly like
+        :meth:`search_many`."""
+        cfg = self.cfg
+        id_cols = list(cfg.id_columns)
+        hits = (self.search_linear_many(queries) if via == "linear"
+                else self.search_many(queries))
+        hits = hits.select("query", *id_cols).dropDuplicates(
+            ["query", *id_cols])
+        cand = source_df.join(hits, id_cols, "inner")
+        spec_rows = []
+        for name, toks in queries.items():
+            tags = {c: None for c in cfg.tag_columns}
+            words = []
+            for tok in toks:
+                tag, _, val = tok.partition("=")
+                if tag == "tok":
+                    words.append(val)
+                elif tag in tags:
+                    tags[tag] = val
+            spec_rows.append((name, *[tags[c] for c in cfg.tag_columns],
+                              words))
+        spec_schema = ("query string, "
+                       + ", ".join(f"_spec_{c} string"
+                                   for c in cfg.tag_columns)
+                       + ", _spec_toks array<string>")
+        spec = F.broadcast(
+            self.spark.createDataFrame(spec_rows, spec_schema))
+        out = cand.join(spec, "query", "inner")
+        pred = F.forall(
+            "_spec_toks",
+            lambda t: F.array_contains(
+                F.split(F.col(cfg.text_column), r"\s+"), t))
+        for c in cfg.tag_columns:
+            pred = pred & (F.col(f"_spec_{c}").isNull()
+                           | (F.col(c) == F.col(f"_spec_{c}")))
+        return out.where(pred).drop(
+            "_spec_toks", *[f"_spec_{c}" for c in cfg.tag_columns])
+
     # ---------------- exact get ----------------
     def get(self, tokens) -> DataFrame:
         """Exact (bit-for-bit) match: content-addressed key equality
@@ -682,3 +731,25 @@ class BloomIndexReader:
                                                        "key string")
         return (hit.join(F.broadcast(tag), "key", "inner")
                 .select("query", *storage.columns))
+
+    def novel_rows(self, df: DataFrame) -> DataFrame:
+        """Rows of ``df`` whose content-addressed key is NOT in the index —
+        the cross-run novelty filter a training pipeline runs before
+        ingesting a new batch (definitely-new is exact here: the
+        content key is md5 of the packed filter, so a stored identical
+        token set always matches; the Bloom 'maybe' direction never
+        reaches the user because equality is on the exact key).
+
+        One distributed pass: the batch's keys are computed with the
+        SAME whole-stage-codegen expressions the build uses
+        (`jvm_hash.aggregated_filter_words`), then a left-anti join
+        against live storage keys. No driver-side key materialization —
+        the 100 TB shape (contrast `get`: `ContainerImpl.java:111-122`,
+        here inverted and batched)."""
+        from mdbloom.spark.build import BloomIndexWriter
+        keyed = BloomIndexWriter(self.spark, self.cfg).filters_df(df) \
+            .select(*self.cfg.id_columns, "shard", "key")
+        live = self.storage().select("shard", "key")
+        novel = keyed.join(live, ["shard", "key"], "left_anti") \
+            .select(*self.cfg.id_columns)
+        return df.join(novel, list(self.cfg.id_columns), "left_semi")

@@ -157,3 +157,44 @@ def test_reader_rejects_other_format_version(spark, reader, tmp_path):
         json.dump(cfg, f)
     with _pytest.raises(ValueError, match="format"):
         BloomIndexReader(spark, str(old))
+
+
+def test_search_verified_many_matches_individual(spark, reader):
+    df = synthesize_transcripts(spark, 1500, seed=42)
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "c": reader.transcript_query_tokens("user", "Bash",
+                                            ["w00000", "w00002"]),
+        "absent": ["tok=zzznope"],
+    }
+    for via in ("slab", "linear"):
+        batched = reader.search_verified_many(queries, df, via=via) \
+            .toPandas()
+        assert set(batched.columns) == {"query"} | set(df.columns)
+        for name, toks in queries.items():
+            single = reader.search_verified(toks, df).toPandas()
+            got = set(map(tuple, batched[batched["query"] == name]
+                          [["conv_id", "turn_idx"]].itertuples(index=False)))
+            want = set(map(tuple, single[["conv_id", "turn_idx"]]
+                           .itertuples(index=False)))
+            assert got == want, (via, name)
+        assert (batched["query"] == "absent").sum() == 0
+
+
+def test_novel_rows_filters_known_content(spark, reader):
+    from pyspark.sql import functions as F
+
+    df = synthesize_transcripts(spark, 1500, seed=42)
+    # half the probe batch is rows already indexed (not novel), half has
+    # mutated text (novel)
+    known = df.limit(40)
+    mutated = known.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zznovelword"))) \
+        .withColumn("conv_id", F.concat(F.lit("nv_"), F.col("conv_id")))
+    probe = known.unionByName(mutated)
+    out = reader.novel_rows(probe).toPandas()
+    assert len(out) == 40
+    assert set(out["conv_id"].str.startswith("nv_")) == {True}
+    # idempotent: an empty probe stays empty
+    assert reader.novel_rows(probe.where(F.lit(False))).count() == 0
