@@ -107,6 +107,92 @@ def stateful_sketch_by_key(stream_df: DataFrame, key_cols: list[str],
                                     GroupStateTimeout.NoTimeout))
 
 
+class StreamingNoveltyIngest:
+    """Online cross-run dedup ingest: a streaming novelty gate in front of
+    a growing Bloom index.
+
+    Each microbatch flows through the same content-addressed novelty
+    check the batch pipeline runs (`BloomIndexReader.novel_rows`), but
+    online and self-feeding:
+
+    1. **in-batch dedup** — one accepted record per content key (first in
+       id order), keys computed with the build's own whole-stage-codegen
+       filter expressions (`BloomIndexWriter.filters_df`);
+    2. **cross-run dedup** — left-anti join of the batch's (shard, key)
+       pairs against the live storage keys of the index at ``index_path``
+       (shard-partition-pruned scan; the storage parquet carries a key
+       bloom filter);
+    3. accepted rows **append** to the parquet sink at ``sink_path``;
+    4. the index is **extended incrementally**: ``build(resume=True)``
+       re-fingerprints the sink and rebuilds ONLY the shards the new rows
+       touched (same machinery as
+       test_resume_rebuilds_only_changed_shards_and_matches_full).
+
+    A replayed microbatch is a no-op — its keys are already indexed, so
+    foreachBatch idempotency falls out of content addressing instead of a
+    (batch_id, state) ledger. Reference frame: `ContainerImpl.put`'s
+    dedup-on-insert (`FlatBloofi.java:153-154`) lifted to a streaming
+    ingest gate.
+    """
+
+    def __init__(self, spark, cfg, index_path: str, sink_path: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.index_path = index_path
+        self.sink_path = sink_path
+        self.batches_seen = 0
+        self.accepted_total = 0
+        self.rejected_total = 0
+
+    def _accept(self, batch_df: DataFrame) -> DataFrame:
+        """The novelty gate for one batch (also usable on a static
+        DataFrame): returns the accepted subset of ``batch_df``."""
+        import os
+
+        from pyspark.sql import Window
+
+        from mdbloom.spark.build import BloomIndexWriter
+
+        ids = list(self.cfg.id_columns)
+        writer = BloomIndexWriter(self.spark, self.cfg)
+        keyed = writer.filters_df(batch_df).select(*ids, "shard", "key")
+        rn = F.row_number().over(
+            Window.partitionBy("key").orderBy(*ids))
+        firsts = keyed.withColumn("_rn", rn).where(F.col("_rn") == 1) \
+            .drop("_rn")
+        if os.path.exists(os.path.join(self.index_path, "config.json")):
+            from mdbloom.spark.query import BloomIndexReader
+            live = BloomIndexReader(self.spark, self.index_path) \
+                .storage().select("shard", "key")
+            firsts = firsts.join(live, ["shard", "key"], "left_anti")
+        return batch_df.join(firsts.select(*ids), ids, "left_semi")
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int):
+        from mdbloom.spark.build import BloomIndexWriter
+
+        n_in = batch_df.count()
+        if not n_in:
+            self.batches_seen += 1
+            return
+        accepted = self._accept(batch_df)
+        n_new = accepted.count()
+        if n_new:
+            accepted.write.mode("append").parquet(self.sink_path)
+            BloomIndexWriter(self.spark, self.cfg).build(
+                self.spark.read.parquet(self.sink_path),
+                self.index_path, resume=True)
+        self.batches_seen += 1
+        self.accepted_total += n_new
+        self.rejected_total += n_in - n_new
+
+    def start(self, stream_df: DataFrame, trigger_once: bool = True):
+        writer = stream_df.writeStream.foreachBatch(self._on_batch) \
+            .outputMode("update")
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 def windowed_counts(stream_df: DataFrame, ts_col: str, key_col: str,
                     window: str = "5 minutes", slide: str | None = None,
                     watermark: str = "10 minutes") -> DataFrame:

@@ -134,3 +134,78 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     want_k = {r.event_type: r.s for r in events.groupBy("event_type")
               .agg(F.count("*").alias("s")).collect()}
     assert got_k == want_k
+
+
+def test_streaming_novelty_ingest(spark, tmp_path):
+    """Online dedup ingest: overlapping microbatches land exactly one
+    accepted row per content key in the sink, the index grows
+    incrementally, replays are no-ops, and queries see every run's rows."""
+    from pyspark.sql import Window
+
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+    from mdbloom.spark.streaming import StreamingNoveltyIngest
+    from mdbloom.spark.transcripts import synthesize_transcripts
+
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256)
+    full = synthesize_transcripts(spark, 600, seed=42)
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(3))
+    part1 = full.where(h != 0)          # thirds {1,2}
+    part2 = full.where(h != 2)          # thirds {0,1} -> overlap = third 1
+
+    src = str(tmp_path / "nsrc")
+    sink = str(tmp_path / "nsink")
+    idx = str(tmp_path / "nidx")
+    part1.write.mode("overwrite").parquet(src)
+
+    ingest = StreamingNoveltyIngest(spark, cfg, idx, sink)
+
+    def run(ckpt):
+        # a shared checkpoint means a later run() only sees NEW files; a
+        # fresh checkpoint dir replays everything
+        stream = spark.readStream.schema(full.schema).parquet(src)
+        q = (stream.writeStream.foreachBatch(ingest._on_batch)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run("nv_run1")
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == part1.count()          # first run: everything is novel
+
+    part2.write.mode("append").parquet(src)
+    run("nv_run1")                      # same checkpoint -> only new files
+    sunk = spark.read.parquet(sink)
+    # one accepted row-set per distinct content key of the union
+    keyed = BloomIndexWriter(spark, cfg).filters_df(
+        part1.unionByName(part2))
+    want_records = (keyed.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("key").orderBy("conv_id", "turn_idx")))
+        .where(F.col("_rn") == 1).count())
+    assert sunk.count() == want_records
+    assert ingest.rejected_total > 0    # the overlap was rejected
+
+    # replay EVERYTHING (fresh checkpoint): pure no-op
+    before = sunk.count()
+    acc_before = ingest.accepted_total
+    run("nv_run2_replay")
+    assert spark.read.parquet(sink).count() == before
+    assert ingest.accepted_total == acc_before
+
+    # the incrementally-grown index answers for rows from both runs
+    r = BloomIndexReader(spark, idx)
+    assert r.value_count() == before
+    sunk = spark.read.parquet(sink)
+    toks = r.transcript_query_tokens("assistant", None, ["w00001"])
+    got = {(row.conv_id, int(row.turn_idx))
+           for row in r.search_verified(toks, sunk)
+           .select("conv_id", "turn_idx").collect()}
+    want = {(row.conv_id, int(row.turn_idx))
+            for row in sunk
+            .where((F.col("role") == "assistant")
+                   & F.array_contains(F.split("text", r"\s+"), "w00001"))
+            .select("conv_id", "turn_idx").collect()}
+    assert want and got == want
