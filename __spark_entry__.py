@@ -327,16 +327,18 @@ def q17_simhash_near_dups(spark, sf_dir):
 
 
 def q18_hll_distinct(spark, sf_dir):
-    """HLL distinct users per event type (p=14 registers, max-merge UDAF);
-    accuracy bound asserted in tests vs exact. Rows-only."""
-    from mdbloom.sketches import HllSketch
-    from mdbloom.spark.aggregate import sketch_by_key
+    """HLL distinct users per event type via the all-JVM register path
+    (md5-derived 60-bit hash, codegen bucket/rho, groupBy max; library
+    estimator on the per-key registers) — every step deterministic ANSI
+    SQL, so the DuckDB oracle recomputes the IDENTICAL registers and
+    estimate (rounded to 6 dp on both sides to absorb libm ulp). The
+    SipHash Arrow-UDAF HLL stays covered by tests/test_spark_aggregate;
+    error-vs-exact bounds for both live in pytest."""
+    from mdbloom.spark.aggregate import hll_by_key_sql
     ev = _t(spark, sf_dir, "events")
-    out = sketch_by_key(ev, ["event_type"], "user_id",
-                        lambda: HllSketch(14),
-                        estimate=lambda s: s.estimate())
+    out = hll_by_key_sql(ev, ["event_type"], "user_id", p=14)
     return (out.select("event_type",
-                       F.col("estimate").alias("hll_users"))
+                       F.round("estimate", 6).alias("hll_users"))
             .orderBy("event_type"))
 
 
@@ -365,22 +367,39 @@ def q19_cms_heavy_hitters(spark, sf_dir):
 
 
 def q20_kll_quantiles(spark, sf_dir):
-    """KLL quantiles of event value (k=200 compactors). Rows-only."""
+    """KLL quantiles of event value, oracle-checked: at k=32768 the
+    sketch never reaches its compaction threshold at driver scale
+    (10k events at sf0.01), so every value survives at weight 1 and the
+    reported quantile IS the exact order statistic at 1-based rank
+    max(ceil(q*n), 1) — which the DuckDB oracle computes directly (both
+    sides form q*n in float64, so the ceil agrees bit-for-bit). The
+    compacting regime (k=200) keeps its rank-error bound + merge-law
+    coverage in tests/test_sketches.py; the same q19-style
+    deterministic-regime oracle pattern."""
     from mdbloom.spark.aggregate import kll_quantiles
     ev = _t(spark, sf_dir, "events")
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    vals = kll_quantiles(ev, "value", qs)
+    vals = kll_quantiles(ev, "value", qs, k=32768)
     return spark.createDataFrame(
         [(float(q), float(v)) for q, v in zip(qs, vals)],
         schema="q double, value double")
 
 
 def q21_tdigest_quantiles(spark, sf_dir):
-    """t-digest tail quantiles of event value (delta=200). Rows-only."""
-    from mdbloom.spark.aggregate import tdigest_quantiles
+    """t-digest tail quantiles of event value, oracle-checked: duplicates
+    are pre-aggregated globally (groupBy(value).count()) and fed as ONE
+    weighted update per distinct value, and delta=1e6 preserves every
+    centroid as a singleton at driver scale (bucket spacing between
+    adjacent distinct values >> 1), so the digest is exactly the
+    (value, count) histogram and its interpolated quantile is a closed
+    form the DuckDB oracle recomputes with the SAME IEEE operation order
+    (slope = dm/dcum, out = m + slope*(t - cum)). The compressing regime
+    (delta=200, per-row updates) keeps its error-bound + merge-law
+    coverage in tests/test_sketches.py."""
+    from mdbloom.spark.aggregate import tdigest_quantiles_weighted
     ev = _t(spark, sf_dir, "events")
     qs = [0.001, 0.01, 0.5, 0.99, 0.999]
-    vals = tdigest_quantiles(ev, "value", qs)
+    vals = tdigest_quantiles_weighted(ev, "value", qs, delta=1e6)
     return spark.createDataFrame(
         [(float(q), float(v)) for q, v in zip(qs, vals)],
         schema="q double, value double")
@@ -869,12 +888,105 @@ def oracle_sql() -> dict[str, str]:
         # pair set, uncapped
         "q16_minhash_near_dups": _jaccard_oracle_sql(max_shingle_df=None),
         "q17_simhash_near_dups": _simhash_oracle_sql(max_hamming=3),
+        # q18: the ENTIRE HLL path is deterministic ANSI SQL (60-bit
+        # md5-prefix hash, p=14 buckets, rho via exact bin-length, max per
+        # register, alpha/linear-counting estimate), so DuckDB recomputes
+        # the identical registers and estimate; round(6) both sides
+        # absorbs libm ulp in ln/pow. m = 2^14 = 16384, width = 46.
+        "q18_hll_distinct": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                           ::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL),
+            r AS (
+                SELECT event_type, hv >> 46 AS idx,
+                       MAX(CASE WHEN (hv & 70368744177663) = 0 THEN 47
+                           ELSE 47 - length(bin(hv & 70368744177663))
+                           END) AS rho
+                FROM h GROUP BY 1, 2),
+            agg AS (
+                SELECT event_type, COUNT(*) AS nz,
+                       SUM(POWER(2.0, -rho)) AS ssum
+                FROM r GROUP BY 1),
+            est AS (
+                SELECT event_type, 16384 - nz AS v,
+                       (0.7213 / (1.0 + 1.079 / 16384)) * 16384.0 * 16384.0
+                           / (ssum + (16384 - nz)) AS e
+                FROM agg)
+            SELECT event_type,
+                   ROUND(CASE WHEN e <= 2.5 * 16384 AND v > 0
+                              THEN 16384.0 * LN(16384.0 / v)
+                              ELSE e END, 6) AS hll_users
+            FROM est ORDER BY event_type
+        """,
         # CMS is deterministic and, when #distinct keys << sketch width
         # (5 event types vs w=e/eps~27k cells/row), provably collision-free
         # -> estimates EQUAL exact counts; the oracle asserts exactly that
         "q19_cms_heavy_hitters": """
             SELECT event_type, count(*) AS est_count
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q21: delta=1e6 t-digest over globally pre-aggregated
+        # (value, count) centroids = the exact weighted histogram; the
+        # quantile is np.interp over (cum(w) - w/2, mean) with
+        # mean = (w*v)/w — every IEEE op mirrored below in the same order
+        "q21_tdigest_quantiles": """
+            WITH qs(q) AS (
+                SELECT * FROM (VALUES (0.001), (0.01), (0.5), (0.99),
+                               (0.999))),
+            cent AS (
+                SELECT value,
+                       CAST(COUNT(*) AS DOUBLE) AS w,
+                       (CAST(COUNT(*) AS DOUBLE) * value)
+                           / CAST(COUNT(*) AS DOUBLE) AS m
+                FROM events WHERE value IS NOT NULL GROUP BY value),
+            c2 AS (
+                SELECT m, w,
+                       SUM(w) OVER (ORDER BY value) - w / 2 AS cum,
+                       ROW_NUMBER() OVER (ORDER BY value) AS r
+                FROM cent),
+            bounds AS (
+                SELECT MIN(value) AS mn, MAX(value) AS mx,
+                       CAST(COUNT(value) AS DOUBLE) AS total
+                FROM events),
+            t AS (
+                SELECT CAST(q AS DOUBLE) AS q,
+                       CAST(q AS DOUBLE) * total AS tt, mn, mx
+                FROM qs, bounds),
+            j AS (
+                SELECT t.q, t.tt, t.mn, t.mx,
+                       (SELECT MAX(r) FROM c2 WHERE cum <= t.tt) AS jj
+                FROM t)
+            SELECT j.q AS q,
+                   CASE WHEN j.jj IS NULL THEN j.mn
+                        WHEN j.jj >= (SELECT MAX(r) FROM c2) THEN j.mx
+                        ELSE lo.m + ((hi.m - lo.m) / (hi.cum - lo.cum))
+                                 * (j.tt - lo.cum)
+                   END AS value
+            FROM j
+            LEFT JOIN c2 lo ON lo.r = j.jj
+            LEFT JOIN c2 hi ON hi.r = j.jj + 1
+            ORDER BY q
+        """,
+        # q20: at k=32768 the KLL never compacts at this scale (10k rows)
+        # -> every item kept at weight 1, quantile = exact order statistic
+        # at 1-based rank max(ceil(q*n), 1); q*n formed in float64 on both
+        # sides so the ceil agrees (0.01*10000 is NOT exactly 100 in
+        # binary; DECIMAL arithmetic here would disagree with the engine)
+        "q20_kll_quantiles": """
+            WITH qs(q) AS (
+                SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75),
+                               (0.99))),
+            ordered AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS r
+                FROM events WHERE value IS NOT NULL),
+            n AS (SELECT COUNT(value) AS c FROM events)
+            SELECT CAST(q AS DOUBLE) AS q, value
+            FROM qs, ordered, n
+            WHERE r = GREATEST(CAST(CEIL(CAST(q AS DOUBLE) * c)
+                                    AS BIGINT), 1)
+            ORDER BY q
         """,
         "q12_cosine_topk": """
             WITH probe AS (SELECT embedding AS p FROM embeddings

@@ -158,6 +158,67 @@ def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
                                                      schema=out_schema)
 
 
+# ---------------- all-JVM (codegen) HLL ----------------
+
+def hll_registers_sql(df: DataFrame, key_cols: list[str], col: str,
+                      p: int = 14, hash_width: int = 60) -> DataFrame:
+    """Per-key HLL register rows (key..., idx, rho) with the ENTIRE row
+    path in whole-stage codegen — zero Python until the tiny per-key
+    finalize.
+
+    The element hash is the first ``hash_width`` bits of md5 (15 hex
+    chars at the default 60 keeps every intermediate inside a signed
+    BIGINT on any ANSI engine): bucket ``idx`` = top ``p`` bits, ``rho``
+    = rank of the first 1-bit of the remaining ``hash_width - p`` bits
+    (computed exactly via ``length(bin(tail))`` — no float log). The
+    register aggregation is a plain ``groupBy(keys, idx).max(rho)``:
+    partial max on the map side, one narrow shuffle of register rows
+    (<= 2^p per key), nothing row-sized crosses the wire. Because every
+    step is deterministic ANSI SQL, the whole path — including the
+    estimate — can be mirrored verbatim in DuckDB, which is what makes
+    q18's oracle possible (the SipHash-based `HllSketch.update` path
+    stays as the Arrow-UDAF variant; both feed the same estimator).
+    """
+    width = hash_width - p
+    hv = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1,
+                            hash_width // 4), 16, 10).cast("bigint")
+    d = df.where(F.col(col).isNotNull()).select(*key_cols,
+                                                hv.alias("_hv"))
+    idx = F.shiftright(F.col("_hv"), width).cast("int")
+    tail = F.col("_hv").bitwiseAND(F.lit((1 << width) - 1))
+    rho = F.when(tail == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width + 1) - F.length(F.bin(tail)))
+    return (d.select(*key_cols, idx.alias("idx"), rho.alias("rho"))
+            .groupBy(*key_cols, "idx")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_by_key_sql(df: DataFrame, key_cols: list[str], col: str,
+                   p: int = 14, hash_width: int = 60) -> DataFrame:
+    """Per-key HLL distinct estimate, codegen register build
+    (:func:`hll_registers_sql`) + library finalize: the per-key register
+    rows (at most 2^p, typically far fewer) are folded into an
+    ``HllSketch`` whose ``estimate()`` — alpha correction + linear
+    counting — is the SAME code every other HLL surface uses. Returns
+    (key..., estimate double)."""
+    from mdbloom.sketches import HllSketch
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join([f"`{k}` {types[k]}" for k in key_cols]
+                           + ["estimate double"])
+    regs_df = hll_registers_sql(df, key_cols, col, p, hash_width)
+
+    def final(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[pdf["idx"].to_numpy()] = pdf["rho"].to_numpy()
+        row = dict(zip(key_cols, keys))
+        row["estimate"] = float(HllSketch(p, regs).estimate())
+        return pd.DataFrame([row])
+
+    return regs_df.groupBy(*key_cols).applyInPandas(final,
+                                                    schema=out_schema)
+
+
 # ---------------- convenience estimators ----------------
 
 def hll_distinct(df: DataFrame, col: str, p: int = 14) -> float:
@@ -184,6 +245,58 @@ def tdigest_quantiles(df: DataFrame, col: str, qs,
                       delta: float = 200.0) -> np.ndarray:
     from mdbloom.sketches import TDigest
     sk = sketch_all(df, col, lambda: TDigest(delta), TDigest.from_bytes)
+    return sk.quantile(np.asarray(qs, dtype=np.float64))
+
+
+def tdigest_quantiles_weighted(df: DataFrame, col: str, qs,
+                               delta: float = 200.0) -> np.ndarray:
+    """t-digest quantiles with duplicate values pre-aggregated GLOBALLY
+    (one ``groupBy(col).count()`` — a narrow shuffle of the distinct
+    values) before the weighted sketch update. Two effects: the digest
+    sees each distinct value exactly once with its full weight, so (a)
+    duplicate-heavy columns cost O(distinct) not O(rows), and (b) the
+    resulting digest is independent of row partitioning/batching —
+    which, at a singleton-preserving ``delta``, makes the whole estimate
+    a deterministic closed form over (value, count) that an ANSI oracle
+    can recompute bit-for-bit (q21's oracle)."""
+    import math
+
+    from mdbloom.sketches import TDigest
+
+    wdf = (df.where(F.col(col).isNotNull()).groupBy(col)
+           .agg(F.count("*").cast("double").alias("_w")))
+
+    def partial(iterator):
+        sk = TDigest(delta)
+        seen = False
+        for pdf in iterator:
+            if len(pdf):
+                sk.update(pdf[col].to_numpy(),
+                          weights=pdf["_w"].to_numpy())
+                seen = True
+        if seen:
+            yield pd.DataFrame({"state": [sk.to_bytes()]})
+
+    partials = wdf.mapInPandas(partial, schema="state binary").rdd
+
+    def seq(acc, row):
+        s = row.state
+        if acc is None:
+            return s
+        return TDigest.from_bytes(acc).merge(
+            TDigest.from_bytes(s)).to_bytes()
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return TDigest.from_bytes(a).merge(TDigest.from_bytes(b)).to_bytes()
+
+    depth = max(2, int(math.ceil(math.log(
+        max(partials.getNumPartitions(), 2), 4))))
+    merged = partials.treeAggregate(None, seq, comb, depth=depth)
+    sk = TDigest.from_bytes(merged) if merged is not None else TDigest(delta)
     return sk.quantile(np.asarray(qs, dtype=np.float64))
 
 

@@ -127,3 +127,71 @@ def test_sketch_by_key_states_merge_to_global(spark, events):
     whole = sketch_all(events, "user_id", lambda: HllSketch(12),
                        HllSketch.from_bytes)
     assert merged.to_bytes() == whole.to_bytes()
+
+
+def test_hll_sql_within_error_bound(spark, events):
+    """The all-JVM (codegen md5-hash) HLL path: per-key estimates within
+    the published 3-sigma bound of exact distinct counts."""
+    from mdbloom.spark.aggregate import hll_by_key_sql
+    got = {r.event_type: r.estimate
+           for r in hll_by_key_sql(events, ["event_type"], "user_id",
+                                   p=14).collect()}
+    true = {r.event_type: r.d for r in
+            events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(got) == set(true)
+    for k, d in true.items():
+        assert abs(got[k] - d) / max(d, 1) <= 3 * 1.04 / np.sqrt(2 ** 14)
+
+
+def test_hll_sql_partitioning_invariant(spark, events):
+    """Registers come from groupBy max -> identical for any partitioning,
+    and the SQL-path estimate is deterministic across runs."""
+    from mdbloom.spark.aggregate import hll_by_key_sql
+    a = sorted((r.event_type, r.estimate) for r in hll_by_key_sql(
+        events.repartition(3), ["event_type"], "user_id").collect())
+    b = sorted((r.event_type, r.estimate) for r in hll_by_key_sql(
+        events.repartition(17), ["event_type"], "user_id").collect())
+    assert a == b
+
+
+def test_hll_sql_registers_feed_library_estimator(spark, events):
+    """hll_registers_sql rows folded into HllSketch by hand equal the
+    hll_by_key_sql estimates — the finalize IS the library estimator."""
+    from mdbloom.spark.aggregate import hll_by_key_sql, hll_registers_sql
+    p = 12
+    regs = hll_registers_sql(events, ["event_type"], "user_id",
+                             p=p).toPandas()
+    want = {r.event_type: r.estimate
+            for r in hll_by_key_sql(events, ["event_type"], "user_id",
+                                    p=p).collect()}
+    for k, grp in regs.groupby("event_type"):
+        arr = np.zeros(1 << p, dtype=np.uint8)
+        arr[grp["idx"].to_numpy()] = grp["rho"].to_numpy()
+        assert HllSketch(p, arr).estimate() == want[k]
+
+
+def test_tdigest_weighted_matches_exact_in_singleton_regime(spark, events):
+    """Pre-aggregated weighted digest at singleton-preserving delta:
+    quantiles equal the exact weighted-histogram interpolation."""
+    from mdbloom.spark.aggregate import tdigest_quantiles_weighted
+    qs = np.array([0.001, 0.25, 0.5, 0.75, 0.999])
+    got = tdigest_quantiles_weighted(events, "value", qs, delta=1e6)
+    pdf = events.select("value").toPandas().dropna()
+    vc = pdf["value"].value_counts().sort_index()
+    v = vc.index.to_numpy(dtype=np.float64)
+    w = vc.to_numpy(dtype=np.float64)
+    cum = np.cumsum(w) - w / 2.0
+    want = np.interp(qs * w.sum(), cum, (w * v) / w,
+                     left=v[0], right=v[-1])
+    assert np.array_equal(got, want)
+
+
+def test_tdigest_weighted_partitioning_invariant(spark, events):
+    from mdbloom.spark.aggregate import tdigest_quantiles_weighted
+    qs = [0.01, 0.5, 0.99]
+    a = tdigest_quantiles_weighted(events.repartition(3), "value", qs,
+                                  delta=1e6)
+    b = tdigest_quantiles_weighted(events.repartition(17), "value", qs,
+                                  delta=1e6)
+    assert np.array_equal(a, b)
