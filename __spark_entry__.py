@@ -92,6 +92,93 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     return BloomIndexReader(spark, path)
 
 
+def _doc_index_py(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
+    """documents index on the PYTHON (md5) hash backend with a single
+    shard — the configuration whose RAW search results (Bloom false
+    positives included) are reproducible in ANSI SQL: md5 is available in
+    DuckDB, little-endian (h1, h2) extraction is string slicing, enhanced
+    double hashing is integer arithmetic, and n_shards=1 removes the
+    xxhash64 shard assignment (not SQL-expressible) from the result —
+    the only pruning left (shard OR-summary, token gate) can never drop a
+    filter-superset row when every query token occurs in the corpus
+    (`hashing.py` module docstring: 'trivially reproducible in any
+    oracle', cashed in by q14's oracle)."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=1,
+                      chunk_slots=4096, tag_columns=("lang", "source"),
+                      text_column="text", id_columns=("doc_id",),
+                      hash_backend="python")
+    key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"docs_idx_py_{key}")
+    docs = _t(spark, sf_dir, "documents")
+    BloomIndexWriter(spark, cfg).build(docs, path, resume=True)
+    return BloomIndexReader(spark, path)
+
+
+def _md5_le_u64_sql(hex_col: str, lo: bool) -> str:
+    """SQL: little-endian uint64 from half of an md5 hex string."""
+    base = 1 if lo else 17
+    pairs = "||".join(f"substr({hex_col},{base + 2 * i},2)"
+                      for i in range(7, -1, -1))
+    return f"('0x' || {pairs})::UBIGINT"
+
+
+def _bloom_raw_oracle_sql(query_tokens: list[str]) -> str:
+    """DuckDB oracle for RAW containment search on the python-backend
+    documents index (`_doc_index_py`): recomputes every token's k bit
+    positions with the IDENTICAL md5 + enhanced-double-hashing scheme
+    (`hashing.py:km_bit_positions`) and returns docs whose bit set covers
+    the query's — i.e. the exact Bloom hit set INCLUDING designed-rate
+    false positives. The trailing guard mirrors the token gate's
+    honest-negative pruning (a query token absent from the whole corpus
+    -> empty result)."""
+    from mdbloom.spark.build import IndexConfig
+    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=1,
+                      chunk_slots=4096, tag_columns=("lang", "source"),
+                      text_column="text", id_columns=("doc_id",),
+                      hash_backend="python")
+    m, k = cfg.shape.m, cfg.shape.k
+    qvals = ", ".join(f"('{t}')" for t in query_tokens)
+    return rf"""
+        WITH qtok(tok) AS (VALUES {qvals}),
+        dtok AS (
+            SELECT doc_id, 'lang=' || lang AS tok FROM documents
+            WHERE lang IS NOT NULL AND lang <> 'none'
+            UNION
+            SELECT doc_id, 'source=' || source FROM documents
+            WHERE source IS NOT NULL AND source <> 'none'
+            UNION
+            SELECT DISTINCT doc_id, 'tok=' || w.tok
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS w(tok)
+            WHERE length(trim(text)) > 0),
+        toks AS (SELECT tok FROM dtok UNION SELECT tok FROM qtok),
+        th AS (SELECT tok, md5(tok) AS h FROM toks),
+        tpos AS (
+            SELECT tok,
+                   (({_md5_le_u64_sql('h', True)} % {m})
+                    + i * ({_md5_le_u64_sql('h', False)} % {m})
+                    + (i*i*i - i)//6) % {m} AS pos
+            FROM th, range({k}) t(i)),
+        qbits AS (SELECT DISTINCT pos FROM tpos
+                  WHERE tok IN (SELECT tok FROM qtok)),
+        dbits AS (SELECT DISTINCT d.doc_id, p.pos
+                  FROM dtok d JOIN tpos p USING (tok)),
+        hits AS (
+            SELECT doc_id FROM dbits
+            WHERE pos IN (SELECT pos FROM qbits)
+            GROUP BY doc_id
+            HAVING COUNT(*) = (SELECT COUNT(*) FROM qbits))
+        SELECT doc_id FROM hits
+        WHERE (SELECT COUNT(*) FROM qtok q
+               WHERE EXISTS (SELECT 1 FROM dtok d WHERE d.tok = q.tok))
+              = (SELECT COUNT(*) FROM qtok)
+        ORDER BY doc_id
+    """
+
+
 # ----------------------------------------------------------------- queries
 
 def q01_pricing_summary(spark, sf_dir):
@@ -269,9 +356,16 @@ def q13_bloom_search_verified(spark, sf_dir):
 
 
 def q14_bloom_search_raw(spark, sf_dir):
-    """Unverified Bloom containment search (includes designed-rate false
-    positives; superset-of-exact asserted in tests). Rows-only check."""
-    r = _doc_index(spark, sf_dir)
+    """Unverified Bloom containment search — the result INCLUDES the
+    designed-rate false positives, and the oracle reproduces them
+    bit-for-bit: it runs on the python/md5 hash backend
+    (`_doc_index_py`), whose entire bit-position derivation is
+    recomputable in ANSI SQL (`_bloom_raw_oracle_sql`). The strongest
+    parity evidence in the suite: DuckDB independently derives every
+    stored filter and the query filter from the raw tables and agrees on
+    the exact FP set (`Linear.java:134-140` semantics; the jvm-backend
+    raw path stays superset-bound-tested in pytest)."""
+    r = _doc_index_py(spark, sf_dir)
     return (r.search(["tok=spark", "tok=window"])
             .select("doc_id").orderBy("doc_id"))
 
@@ -871,6 +965,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q11_ngram_jaccard": _jaccard_oracle_sql(max_shingle_df=100),
+        # q14: the oracle rebuilds every Bloom filter from the raw tables
+        # (md5 -> LE (h1,h2) -> enhanced double hashing, bit-identical to
+        # hashing.py) and reproduces the raw hit set INCLUDING false
+        # positives — see _bloom_raw_oracle_sql
+        "q14_bloom_search_raw": _bloom_raw_oracle_sql(
+            ["tok=spark", "tok=window"]),
         "q15_bloom_exact_get": rf"""
             WITH q AS (
                 SELECT lang, source,
