@@ -503,18 +503,23 @@ def q22_ann_lsh_topk(spark, sf_dir):
     """Approximate top-10 from the PERSISTED LSH index (VERDICT r1 item
     4): signatures built once at index time (bucket-sorted, vectors
     embedded IVF-style); each probe is a partition+row-group-pruned
-    bucket lookup + exact re-rank — zero full-corpus scans. Rows-only;
-    recall vs brute force asserted in tests."""
+    bucket lookup + exact re-rank — zero full-corpus scans. NOW
+    oracle-checked: the hyperplanes are the md5-derived Rademacher
+    family (`similarity._hyperplanes_md5`), so DuckDB recomputes every
+    signature, the multiprobe candidate set (hamming <= 1 via
+    bit_count(xor)), and the exact-cosine top-10 independently. Recall
+    vs brute force stays asserted in tests."""
     import numpy as np
     from mdbloom.spark.similarity import AnnLshIndex
     emb = _t(spark, sf_dir, "embeddings")
     probe_row = emb.where(F.col("vec_id") == 0).select("embedding").head()
     probe = np.asarray(probe_row[0], dtype=np.float64)
-    key = hashlib.md5(f"{sf_dir}:ann:10:4".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:ann:10:4:md5".encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, f"ann_idx_{key}")
     if not os.path.exists(os.path.join(path, "config.json")):
         AnnLshIndex.build(emb.where(F.col("vec_id") != 0), path,
-                          dim=len(probe), nbits=10, n_tables=4)
+                          dim=len(probe), nbits=10, n_tables=4,
+                          planes_kind="md5")
     idx = AnnLshIndex(spark, path)
     return idx.topk(probe, k=10).select("vec_id").orderBy("vec_id")
 
@@ -601,13 +606,17 @@ def q29_bloom_search_linear(spark, sf_dir):
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
-    1.0, probabilistic recall (so rows-only; planted-pair recall is
-    asserted in tests). On the near-random test embeddings the true pair
-    set is small/empty — the honest outcome for data with no real
-    near-duplicates."""
+    1.0, probabilistic recall (planted-pair recall asserted in tests).
+    Oracle-checked via the md5-Rademacher plane family: DuckDB
+    recomputes every signature, the bucket-equality candidate pairs and
+    the exact-cosine verification independently. On the near-random test
+    embeddings the true pair set is small/empty — the honest outcome for
+    data with no real near-duplicates (the oracle confirms the EXACT
+    same pair set, empty or not)."""
     from mdbloom.spark.similarity import cosine_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return (cosine_near_dup_pairs(emb, threshold=0.9, nbits=8, n_tables=2)
+    return (cosine_near_dup_pairs(emb, threshold=0.9, nbits=8, n_tables=2,
+                                  planes_kind="md5")
             .select("id_a", "id_b")
             .orderBy("id_a", "id_b"))
 
@@ -1026,6 +1035,79 @@ def oracle_sql() -> dict[str, str]:
         "q19_cms_heavy_hitters": """
             SELECT event_type, count(*) AS est_count
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q22: md5-Rademacher hyperplanes -> every LSH signature, the
+        # multiprobe candidate set (hamming <= 1) and the exact-cosine
+        # re-rank are all recomputed independently in SQL
+        "q22_ann_lsh_topk": """
+            WITH s AS (
+                SELECT t, b, d,
+                       CASE WHEN ('0x' || substr(md5('lsh_1234_' || t ||
+                                  '_' || b || '_' || d), 1, 1))::INT >= 8
+                            THEN -1.0 ELSE 1.0 END AS sgn
+                FROM range(4) tt(t), range(10) bb(b), range(64) dd(d)),
+            elem AS (
+                SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM embeddings, range(64) r(i)),
+            proj AS (
+                SELECT e.vec_id, s.t, s.b, SUM(e.x * s.sgn) AS p
+                FROM elem e JOIN s ON s.d = e.i
+                GROUP BY 1, 2, 3),
+            sig AS (
+                SELECT vec_id, t,
+                       SUM(CASE WHEN p > 0 THEN (1::BIGINT << b)
+                           ELSE 0 END) AS bucket
+                FROM proj GROUP BY 1, 2),
+            pr AS (SELECT t, bucket AS pb FROM sig WHERE vec_id = 0),
+            cand AS (
+                SELECT DISTINCT g.vec_id
+                FROM sig g JOIN pr ON g.t = pr.t
+                WHERE g.vec_id <> 0
+                  AND bit_count(xor(g.bucket, pr.pb)) <= 1),
+            probe AS (SELECT embedding AS pv FROM embeddings
+                      WHERE vec_id = 0),
+            scored AS (
+                SELECT c.vec_id,
+                       list_cosine_similarity(e.embedding, pv) AS cosine
+                FROM cand c JOIN embeddings e USING (vec_id), probe)
+            SELECT vec_id FROM (
+                SELECT vec_id FROM scored
+                ORDER BY cosine DESC, vec_id LIMIT 10)
+            ORDER BY vec_id
+        """,
+        # q28: same md5-Rademacher planes as q22 (nbits=8, 2 tables);
+        # candidate pairs share a (table, bucket), verified at exact
+        # cosine >= 0.9 — the full near-dup pipeline recomputed in SQL
+        "q28_cosine_near_dups": """
+            WITH s AS (
+                SELECT t, b, d,
+                       CASE WHEN ('0x' || substr(md5('lsh_1234_' || t ||
+                                  '_' || b || '_' || d), 1, 1))::INT >= 8
+                            THEN -1.0 ELSE 1.0 END AS sgn
+                FROM range(2) tt(t), range(8) bb(b), range(64) dd(d)),
+            elem AS (
+                SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM embeddings, range(64) r(i)),
+            proj AS (
+                SELECT e.vec_id, s.t, s.b, SUM(e.x * s.sgn) AS p
+                FROM elem e JOIN s ON s.d = e.i
+                GROUP BY 1, 2, 3),
+            sig AS (
+                SELECT vec_id, t,
+                       SUM(CASE WHEN p > 0 THEN (1::BIGINT << b)
+                           ELSE 0 END) AS bucket
+                FROM proj GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sig a JOIN sig b
+                  ON a.t = b.t AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.9
+            ORDER BY id_a, id_b
         """,
         # q21: delta=1e6 t-digest over globally pre-aggregated
         # (value, count) centroids = the exact weighted histogram; the

@@ -89,17 +89,46 @@ def _table_seed(seed: int, t: int) -> int:
     return seed + 7919 * t
 
 
+def _hyperplanes_md5(dim: int, nbits: int, seed: int, table: int) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes derived from md5 — the
+    ORACLE-REPRODUCIBLE plane family: sign(b, d) = -1 iff the first hex
+    nibble of md5('lsh_{seed}_{table}_{b}_{d}') >= 8. Charikar's
+    sign-of-projection LSH only needs a symmetric sub-Gaussian direction
+    distribution, so ±1 components preserve the collision-probability
+    monotonicity in angle while making every signature recomputable in
+    ANSI SQL (md5 + substr + integer compare). Driver-side cost:
+    nbits*dim hashes, vocabulary-sized."""
+    import hashlib
+    out = np.empty((nbits, dim), dtype=np.float64)
+    for b in range(nbits):
+        for d in range(dim):
+            h = hashlib.md5(f"lsh_{seed}_{table}_{b}_{d}".encode()).digest()
+            out[b, d] = -1.0 if (h[0] >> 4) >= 8 else 1.0
+    return out
+
+
+def _planes_for(dim: int, nbits: int, seed: int, table: int,
+                kind: str = "gauss") -> np.ndarray:
+    if kind == "md5":
+        return _hyperplanes_md5(dim, nbits, seed, table)
+    return _hyperplanes(dim, nbits, _table_seed(seed, table))
+
+
 def multi_table_signatures(df: DataFrame, dim: int, nbits: int = 16,
                            n_tables: int = 4, seed: int = 1234,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           keep_vec: bool = False) -> DataFrame:
+                           keep_vec: bool = False,
+                           planes_kind: str = "gauss") -> DataFrame:
     """(id, table, bucket[, vec]): signatures for ALL tables in ONE pass —
     the per-table hyperplanes are stacked into a single
     (n_tables*nbits, dim) matrix so each Arrow batch costs one matmul,
-    not n_tables scans (VERDICT r1 finding #3)."""
-    planes = np.concatenate([_hyperplanes(dim, nbits, _table_seed(seed, t))
-                             for t in range(n_tables)])  # (T*nbits, dim)
+    not n_tables scans (VERDICT r1 finding #3). ``planes_kind='md5'``
+    swaps Gaussian planes for the SQL-reproducible Rademacher family
+    (:func:`_hyperplanes_md5`)."""
+    planes = np.concatenate(
+        [_planes_for(dim, nbits, seed, t, planes_kind)
+         for t in range(n_tables)])  # (T*nbits, dim)
 
     def sig(iterator):
         bit_w = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
@@ -128,7 +157,8 @@ def multi_table_signatures(df: DataFrame, dim: int, nbits: int = 16,
 
 
 def probe_buckets(probe: np.ndarray, nbits: int, n_tables: int,
-                  seed: int, multiprobe: int = 1) -> dict[int, list[int]]:
+                  seed: int, multiprobe: int = 1,
+                  planes_kind: str = "gauss") -> dict[int, list[int]]:
     """Driver-side query planning: for each table, the probe's bucket plus
     every bucket within ``multiprobe`` flipped bits (the standard
     multiprobe recall lever — extra buckets instead of extra tables)."""
@@ -138,7 +168,7 @@ def probe_buckets(probe: np.ndarray, nbits: int, n_tables: int,
     bit_w = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
     out: dict[int, list[int]] = {}
     for t in range(n_tables):
-        planes = _hyperplanes(len(probe), nbits, _table_seed(seed, t))
+        planes = _planes_for(len(probe), nbits, seed, t, planes_kind)
         base_bits = (probe @ planes.T) > 0
         base = int((base_bits.astype(np.uint64) * bit_w).sum())
         buckets = {base}
@@ -178,17 +208,20 @@ class AnnLshIndex:
     @staticmethod
     def build(df: DataFrame, path: str, dim: int, nbits: int = 16,
               n_tables: int = 4, seed: int = 1234, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "AnnLshIndex":
+              vec_col: str = "embedding",
+              planes_kind: str = "gauss") -> "AnnLshIndex":
         import json
         import os
         sigs = multi_table_signatures(df, dim, nbits, n_tables, seed,
-                                      id_col, vec_col, keep_vec=True)
+                                      id_col, vec_col, keep_vec=True,
+                                      planes_kind=planes_kind)
         (sigs.repartition("table")
          .sortWithinPartitions("bucket")
          .write.mode("overwrite").partitionBy("table")
          .parquet(os.path.join(path, "signatures")))
         cfg = {"dim": dim, "nbits": nbits, "n_tables": n_tables,
-               "seed": seed, "id_col": id_col, "vec_col": vec_col}
+               "seed": seed, "id_col": id_col, "vec_col": vec_col,
+               "planes_kind": planes_kind}
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(json.dumps(cfg))
         return AnnLshIndex(df.sparkSession, path)
@@ -200,7 +233,8 @@ class AnnLshIndex:
         import os
         cfg = self.cfg
         plan = probe_buckets(probe, cfg["nbits"], cfg["n_tables"],
-                             cfg["seed"], multiprobe)
+                             cfg["seed"], multiprobe,
+                             cfg.get("planes_kind", "gauss"))
         sigs = self.spark.read.parquet(os.path.join(self.path, "signatures"))
         cond = None
         for t, buckets in plan.items():
@@ -247,7 +281,8 @@ def ann_lsh_topk(df: DataFrame, probe: np.ndarray, k: int = 10,
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           nbits: int = 12, n_tables: int = 2,
                           seed: int = 1234, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          planes_kind: str = "gauss") -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket equi-join for candidates
     (union over ``n_tables`` independent tables — recall 1-(1-p^nbits)^L),
     exact cosine verify — precision 1.0, probabilistic recall.
@@ -264,7 +299,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             [], schema="id_a long, id_b long, cosine double")
     dim = len(first[0][0])
     sigs = multi_table_signatures(df, dim, nbits, n_tables, seed,
-                                  id_col, vec_col, keep_vec=True)
+                                  id_col, vec_col, keep_vec=True,
+                                  planes_kind=planes_kind)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (a.join(b, ["table", "bucket"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -332,3 +332,43 @@ def test_cosine_near_dup_pairs_finds_planted(emb_planted):
         cos = float(a @ b_ / (np.linalg.norm(a) * np.linalg.norm(b_)))
         assert cos >= 0.95 - 1e-9
         assert r.cosine == pytest.approx(cos, abs=1e-6)
+
+
+def test_cosine_near_dup_pairs_md5_planes_finds_planted(emb_planted):
+    """The SQL-reproducible md5-Rademacher plane family (q22/q28 oracle
+    path) keeps planted-pair recall — ±1 components preserve the
+    angle-monotone collision probability of sign LSH."""
+    sp, pdf = emb_planted
+    got = S.cosine_near_dup_pairs(sp, threshold=0.95, nbits=8,
+                                  planes_kind="md5").toPandas()
+    got_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+                 for r in got.itertuples()}
+    want = {(int(v), int(v) + 100_000) for v in pdf["vec_id"].iloc[:20]}
+    assert len(got_pairs & want) / len(want) >= 0.9
+
+
+def test_ann_md5_planes_recall_and_determinism(emb_planted, tmp_path):
+    """Persisted index on md5 planes: planted-probe recall holds, and two
+    builds produce identical signature tables (no RNG anywhere)."""
+    sp, pdf = emb_planted
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    p1, p2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    i1 = S.AnnLshIndex.build(sp, p1, dim=mat.shape[1], nbits=10,
+                             n_tables=4, planes_kind="md5")
+    i2 = S.AnnLshIndex.build(sp, p2, dim=mat.shape[1], nbits=10,
+                             n_tables=4, planes_kind="md5")
+    import pandas as pd
+    s1 = pd.read_parquet(p1 + "/signatures").sort_values(
+        ["table", "bucket", "vec_id"]).reset_index(drop=True)
+    s2 = pd.read_parquet(p2 + "/signatures").sort_values(
+        ["table", "bucket", "vec_id"]).reset_index(drop=True)
+    assert (s1[["table", "bucket", "vec_id"]]
+            == s2[["table", "bucket", "vec_id"]]).all().all()
+    found = 0
+    for i in range(8):
+        probe = mat[len(pdf) - 20 + i]
+        src_id = int(pdf["vec_id"].iloc[len(pdf) - 20 + i]) - 100_000
+        got = i1.topk(probe, k=3).toPandas()["vec_id"].tolist()
+        if src_id in got:
+            found += 1
+    assert found >= 7, f"md5-plane planted recall {found}/8"
