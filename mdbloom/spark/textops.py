@@ -271,14 +271,22 @@ def minhash_near_dups(df: DataFrame, num_perm: int = 64, bands: int = 16,
                                      lambda x: x.cast("string")))
                            ).alias("bucket")))).alias("bb"))
     banded = banded.select(id_col, "bb.band", "bb.bucket")
+    # banded feeds both self-join sides; without materialization each side
+    # re-runs the full signature aggregation (shingle explode + num_perm
+    # min-combines over the corpus). docs x bands rows — small relative to
+    # the input; MEMORY_AND_DISK spills rather than evicting.
+    from pyspark import StorageLevel
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "bucket"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact verification on the candidate set only
-    sh = shingles_df(df, n, id_col, text_col)
+    # exact verification on the candidate set only; the shingle table
+    # feeds three consumers (sizes + both pair sides) — materialize once
+    sh = shingles_df(df, n, id_col, text_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
