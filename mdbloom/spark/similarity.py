@@ -301,6 +301,11 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     sigs = multi_table_signatures(df, dim, nbits, n_tables, seed,
                                   id_col, vec_col, keep_vec=True,
                                   planes_kind=planes_kind)
+    # both self-join sides read sigs; materialize so the Arrow matmul
+    # pass over the corpus runs once, not twice (vectors ride along —
+    # MEMORY_AND_DISK spills rather than evicting)
+    from pyspark import StorageLevel
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (a.join(b, ["table", "bucket"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

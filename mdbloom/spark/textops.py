@@ -388,6 +388,10 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
                 .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
             for b_ in range(bands)])).alias("bb"))
     pieces = pieces.select(id_col, "simhash", "bb.band", "bb.piece")
+    # both self-join sides read pieces; materialize so the signature pass
+    # (mapInPandas kernel or SQL votes) runs once, not twice
+    from pyspark import StorageLevel
+    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = pieces.alias("a"), pieces.alias("b")
     cand = (a.join(b, ["band", "piece"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
