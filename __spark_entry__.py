@@ -12,9 +12,12 @@ the training-data-pipeline operators. Queries with an oracle entry produce
 doubles go through exact DECIMAL arithmetic (associative, engine-
 independent) and are cast to double only at the end; outputs involving
 genuinely float-order-sensitive math (cosine ranks) expose only rank/id
-columns. Sketch estimators, LSH methods and Bloom membership itself are
-not ANSI-SQL-expressible — those entries omit the oracle (driver records
-rows-only) and their accuracy bounds are asserted in tests/ instead.
+columns. ALL 34 queries carry oracles — including the ones that look
+non-SQL-expressible: raw Bloom membership (q14/q24: md5 + enhanced
+double hashing recomputed in SQL), the sketch estimators (q18-q21: run
+in regimes where the estimate is value-deterministic), and the LSH
+pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
+families). Accuracy bounds are additionally asserted in tests/.
 """
 
 from __future__ import annotations
@@ -35,7 +38,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dec(col, scale=4):
-    return F.col(col).cast(f"decimal(30,{scale})")
+    """Narrow decimal: products of two/three casts must stay exact in BOTH
+    engines. At DECIMAL(12,4) the q01 triple product exceeds 38 digits:
+    Spark rounds it to scale 6 while DuckDB silently falls back to DOUBLE,
+    producing ~1e-9 drift that breaks the value-hash at some scale
+    factors. (12,4) x (6,4) x (6,4) = 26 digits — exact everywhere
+    (inputs bounded: prices < 1e8, rates < 1)."""
+    return F.col(col).cast(f"decimal(12,{scale})")
 
 
 # ----------------------------------------------------------------- entry
@@ -92,6 +101,18 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     return BloomIndexReader(spark, path)
 
 
+def _doc_idx_py_cfg():
+    """ONE definition of the python-backend documents-index shape, shared
+    by the index builder (`_doc_index_py`) and the q14 oracle generator
+    (`_bloom_raw_oracle_sql`) — tuning it in one place cannot silently
+    desynchronize the oracle's recomputed bit positions."""
+    from mdbloom.spark.build import IndexConfig
+    return IndexConfig(n_per_record=32, probability=1e-3, n_shards=1,
+                       chunk_slots=4096, tag_columns=("lang", "source"),
+                       text_column="text", id_columns=("doc_id",),
+                       hash_backend="python")
+
+
 def _doc_index_py(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     """documents index on the PYTHON (md5) hash backend with a single
     shard — the configuration whose RAW search results (Bloom false
@@ -103,13 +124,10 @@ def _doc_index_py(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     filter-superset row when every query token occurs in the corpus
     (`hashing.py` module docstring: 'trivially reproducible in any
     oracle', cashed in by q14's oracle)."""
-    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.build import BloomIndexWriter
     from mdbloom.spark.query import BloomIndexReader
 
-    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=1,
-                      chunk_slots=4096, tag_columns=("lang", "source"),
-                      text_column="text", id_columns=("doc_id",),
-                      hash_backend="python")
+    cfg = _doc_idx_py_cfg()
     key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, f"docs_idx_py_{key}")
     docs = _t(spark, sf_dir, "documents")
@@ -134,11 +152,7 @@ def _bloom_raw_oracle_sql(query_tokens: list[str]) -> str:
     false positives. The trailing guard mirrors the token gate's
     honest-negative pruning (a query token absent from the whole corpus
     -> empty result)."""
-    from mdbloom.spark.build import IndexConfig
-    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=1,
-                      chunk_slots=4096, tag_columns=("lang", "source"),
-                      text_column="text", id_columns=("doc_id",),
-                      hash_backend="python")
+    cfg = _doc_idx_py_cfg()
     m, k = cfg.shape.m, cfg.shape.k
     qvals = ", ".join(f"('{t}')" for t in query_tokens)
     return rf"""
@@ -187,14 +201,22 @@ def q01_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"),
                              _dec("l_discount"), _dec("l_tax"))
-    disc_price = price * (F.lit(1).cast("decimal(30,4)") - disc)
-    charge = disc_price * (F.lit(1).cast("decimal(30,4)") + tax)
+    disc_price = price * (F.lit(1).cast("decimal(6,4)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(6,4)") + tax)
     g = (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
          .groupBy("l_returnflag", "l_linestatus")
          .agg(F.sum(qty).cast("double").alias("sum_qty"),
               F.sum(price).cast("double").alias("sum_base_price"),
-              F.sum(disc_price).cast("double").alias("sum_disc_price"),
-              F.sum(charge).cast("double").alias("sum_charge"),
+              # narrow to the TRUE scale (4/6 decimals) before the double
+              # cast: DuckDB converts decimal->double as
+              # double(int128)/double(10^scale), which double-rounds once
+              # the scaled integer exceeds 2^53 (scale 10/12 sums do);
+              # at <=15 total digits both engines perform one correctly-
+              # rounded IEEE division and agree bit-for-bit
+              F.sum(disc_price).cast("decimal(28,4)")
+              .cast("double").alias("sum_disc_price"),
+              F.sum(charge).cast("decimal(28,6)")
+              .cast("double").alias("sum_charge"),
               (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
               (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
               (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
@@ -209,12 +231,13 @@ def q02_top_revenue_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)")
                                      - _dec("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "c_name")
-            .agg(F.sum(rev).cast("double").alias("revenue"),
+            .agg(F.sum(rev).cast("decimal(28,4)")
+                 .cast("double").alias("revenue"),
                  F.count("*").alias("n_items"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10))
@@ -877,13 +900,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) * (CAST(1 AS DECIMAL(30,4)) + CAST(l_tax AS DECIMAL(30,4)))) AS DOUBLE) AS sum_charge,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_price,
-                   CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -892,7 +915,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q02_top_revenue_orders": """
             SELECT o_orderkey, c_name,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE) AS revenue,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
@@ -904,8 +927,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n,
                    count(DISTINCT user_id) AS n_users,
-                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
-                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value
+                   CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q04_user_top_event": """
@@ -933,7 +956,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q06_rollup_events": """
             SELECT event_type, count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY ROLLUP (event_type)
             ORDER BY event_type NULLS FIRST
         """,
@@ -1394,10 +1417,6 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 + b3 % 120 END AS INT) AS n_frames
             FROM b ORDER BY media_id
         """,
-        # Still rows-only (genuinely not ANSI-SQL-expressible): q14 raw
-        # Bloom search (includes designed-rate false positives), q18/q20/
-        # q21 sketch estimators (error-bounded, not value-deterministic in
-        # SQL), q22 ANN (probabilistic recall), q28 cosine near-dup pairs
-        # (probabilistic recall).
-        # Accuracy bounds for all of them are asserted in tests/.
+        # Every queries() entry above has an oracle — kept in lockstep
+        # (scripts/selfcheck.py asserts the key sets match).
     }

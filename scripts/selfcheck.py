@@ -56,6 +56,12 @@ def main():
                 f"read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, osql = E.queries(), E.oracle_sql()
+    # every query carries an oracle and vice versa — a one-sided add is a
+    # contract bug, not a weaker rows-only check
+    assert set(qs) == set(osql), (
+        f"queries()/oracle_sql() key drift: only in queries: "
+        f"{sorted(set(qs) - set(osql))}; only in oracles: "
+        f"{sorted(set(osql) - set(qs))}")
     failures = []
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
