@@ -42,9 +42,11 @@ HIT_SCHEMA = "shard int, slot long"
 
 # search_linear_many: max total word predicates for the SQL-text literal
 # form (driver parse cost and task-binary size grow ~linearly with preds:
-# ~1.5 s / ~1.1 MiB at 3.8k preds); larger batches switch to the
-# plans-as-data broadcast join, whose plan is O(1) regardless of Q
-SQL_LITERAL_MAX_PREDS = 50_000
+# ~1.5 s / ~1.1 MiB at 3.8k preds => ~12 s / ~9 MiB at 30k); the
+# broadcast-join form pays a flat ~14 s extra exec at the measured
+# point, so the crossover the two measurements imply is ~30k — larger
+# batches switch to plans-as-data, whose plan is O(1) regardless of Q
+SQL_LITERAL_MAX_PREDS = 30_000
 
 
 def _sql_bigint(v: int) -> str:
@@ -54,17 +56,24 @@ def _sql_bigint(v: int) -> str:
     return "(-9223372036854775807L - 1L)" if v == -(2 ** 63) else f"{v}L"
 
 
-def _plan_struct_sql(name: str, pairs: list[tuple[int, int]]) -> str:
+def _plan_struct_sql(name: str, pairs: list[tuple[int, int]],
+                     shards: list[int] | None = None) -> str:
     """One query plan as SQL text: named_struct('q', <name>, 'ps',
-    [(word_idx, word_mask)...]). An empty pair list (match-all query)
-    needs an explicit cast — ``array()`` alone types as array<null>."""
+    [(word_idx, word_mask)...], 'sh', [shard...]). An empty pair list
+    (match-all query) needs an explicit cast — ``array()`` alone types
+    as array<null>. An empty/None shard list means "no restriction"
+    (the query kept every shard), keeping the literal tiny in the
+    common all-shards-survive case."""
     q = name.replace("'", "''")
+    sh = ("CAST(array() AS array<int>)" if not shards
+          else "array(%s)" % ",".join(str(s) for s in shards))
     if not pairs:
         return ("named_struct('q','%s','ps',"
-                "CAST(array() AS array<struct<i:int,v:bigint>>))" % q)
+                "CAST(array() AS array<struct<i:int,v:bigint>>),"
+                "'sh',%s)" % (q, sh))
     ps = ",".join("named_struct('i',%d,'v',%s)" % (i, _sql_bigint(v))
                   for i, v in pairs)
-    return "named_struct('q','%s','ps',array(%s))" % (q, ps)
+    return "named_struct('q','%s','ps',array(%s),'sh',%s)" % (q, ps, sh)
 
 
 def _hex_keys(blob: bytes | None) -> np.ndarray:
@@ -547,21 +556,30 @@ class BloomIndexReader:
         Register-resident JVM compute — the scaling-evidence path when
         parallel NumPy/DRAM is the host bottleneck (VERDICT r2 item 1).
         Driver-side gate pruning restricts the scan to the union of the
-        per-query shard sets; per-query results stay exact regardless
-        (containment is decided by the word predicate alone). Empty
-        queries match everything (`ContainerImpl.java:159-169`): an
-        empty pair list makes ``forall`` vacuously true."""
+        per-query shard sets, and each plan CARRIES its own shard set so
+        the predicate applies the same per-query pruning the slab path
+        applies inside its scan — the two strategies are bit-identical,
+        including which Bloom false positives leak through (without the
+        per-query restriction, a query evaluated in a shard its token
+        gate had pruned could emit an m-space-FP row the slab path
+        excludes; true matches were never affected — a real match's
+        tokens are in the shard, so its gate bits are set). A query that
+        keeps EVERY shard ships an empty shard array ("no restriction"),
+        so the common case adds ~nothing to the literal. Empty queries
+        match everything (`ContainerImpl.java:159-169`): an empty pair
+        list makes ``forall`` vacuously true."""
         if self._jvm_hasher is not None:
             self._jvm_hasher._ensure(
                 {t for toks in queries.values() for t in toks})
         m = self.shape.m
-        plans: list[tuple[str, list[tuple[int, int]]]] = []
+        n_shards_total = len(self._prune_matrices()[0])
+        plans: list[tuple[str, list[tuple[int, int]], list[int]]] = []
         all_shards: set[int] = set()
         any_match_all = False
         for name, toks in queries.items():
             qbits = self.query_bits(toks)
             if qbits.size == 0:
-                plans.append((name, []))  # matches every row
+                plans.append((name, [], []))  # matches every row
                 any_match_all = True
                 continue
             shards = self.prune_shards(qbits, toks)
@@ -570,30 +588,40 @@ class BloomIndexReader:
             qwords = B.from_bits(qbits, m).view(np.int64)
             pairs = [(int(w) + 1, int(qwords[w]))
                      for w in np.flatnonzero(qwords != 0)]
-            plans.append((name, pairs))
+            # [] = kept every shard = no per-query restriction needed
+            sh = [] if len(shards) == n_shards_total else list(shards)
+            plans.append((name, pairs, sh))
             all_shards.update(shards)
         df = self.storage(keep_filter=True)
+        out_cols = [c for c in df.columns if c != "filter"]
         if not plans:
-            return (df.where(F.lit(False)).drop("filter")
-                    .withColumn("query", F.lit("")))
+            # same (query, *storage) column ORDER as the non-empty paths —
+            # callers unioning batches must not depend on data content
+            return (df.where(F.lit(False))
+                    .withColumn("query", F.lit(""))
+                    .select("query", *out_cols))
         if not any_match_all:
             df = df.where(F.col("shard").isin(sorted(all_shards)))
-        out_cols = [c for c in df.columns if c != "filter"]
-        n_preds = sum(len(p) for _, p in plans)
+        n_preds = sum(len(p) for _, p, _ in plans)
         if n_preds > SQL_LITERAL_MAX_PREDS:
             # plans-as-data broadcast join: O(1) plan size at any Q
             qdf = self.spark.createDataFrame(
-                plans, "query string, ps array<struct<i:int,v:bigint>>")
-            cond = F.forall("ps", lambda p: F.element_at(
-                F.col("filter"), p["i"]).bitwiseAND(p["v"]) == p["v"])
+                plans,
+                "query string, ps array<struct<i:int,v:bigint>>, "
+                "sh array<int>")
+            cond = ((F.size(F.col("sh")) == 0)
+                    | F.array_contains(F.col("sh"), F.col("shard"))) \
+                & F.forall("ps", lambda p: F.element_at(
+                    F.col("filter"), p["i"]).bitwiseAND(p["v"]) == p["v"])
             return (df.join(F.broadcast(qdf), cond)
                     .select("query", *out_cols))
         # SQL-text literal + forall, one JVM-side parse
         matched = F.expr(
-            "transform(filter(array(%s), s -> forall(s.ps, "
+            "transform(filter(array(%s), s -> (size(s.sh) = 0 or "
+            "array_contains(s.sh, shard)) and forall(s.ps, "
             "p -> (element_at(`filter`, p.i) & p.v) = p.v)), s -> s.q)"
-            % ",".join(_plan_struct_sql(name, pairs)
-                       for name, pairs in plans))
+            % ",".join(_plan_struct_sql(name, pairs, sh)
+                       for name, pairs, sh in plans))
         return (df.withColumn("query", F.explode(matched))
                 .select("query", *out_cols))
 
@@ -646,18 +674,21 @@ class BloomIndexReader:
         cand = source_df.join(hits, id_cols, "inner")
         spec_rows = []
         for name, toks in queries.items():
-            tags = {c: None for c in cfg.tag_columns}
+            # a LIST per tag, not last-wins: search_verified ANDs every
+            # tag equality, so ['role=user','role=assistant'] must be
+            # conjunctive (provably empty) in the batched form too
+            tags = {c: [] for c in cfg.tag_columns}
             words = []
             for tok in toks:
                 tag, _, val = tok.partition("=")
                 if tag == "tok":
                     words.append(val)
                 elif tag in tags:
-                    tags[tag] = val
+                    tags[tag].append(val)
             spec_rows.append((name, *[tags[c] for c in cfg.tag_columns],
                               words))
         spec_schema = ("query string, "
-                       + ", ".join(f"_spec_{c} string"
+                       + ", ".join(f"_spec_{c} array<string>"
                                    for c in cfg.tag_columns)
                        + ", _spec_toks array<string>")
         spec = F.broadcast(
@@ -667,9 +698,15 @@ class BloomIndexReader:
             "_spec_toks",
             lambda t: F.array_contains(
                 F.split(F.col(cfg.text_column), r"\s+"), t))
+        def _tag_pred(col_name):
+            # one-arg lambda: a second (defaulted) param would make
+            # forall treat it as the (element, index) form
+            return F.forall(f"_spec_{col_name}",
+                            lambda v: F.col(col_name) == v)
+
         for c in cfg.tag_columns:
-            pred = pred & (F.col(f"_spec_{c}").isNull()
-                           | (F.col(c) == F.col(f"_spec_{c}")))
+            # vacuously true when no tag constraint (empty list)
+            pred = pred & _tag_pred(c)
         return out.where(pred).drop(
             "_spec_toks", *[f"_spec_{c}" for c in cfg.tag_columns])
 
@@ -749,7 +786,15 @@ class BloomIndexReader:
         from mdbloom.spark.build import BloomIndexWriter
         keyed = BloomIndexWriter(self.spark, self.cfg).filters_df(df) \
             .select(*self.cfg.id_columns, "shard", "key")
-        live = self.storage().select("shard", "key")
-        novel = keyed.join(live, ["shard", "key"], "left_anti") \
-            .select(*self.cfg.id_columns)
+        novel = self.filter_novel_keys(keyed).select(*self.cfg.id_columns)
         return df.join(novel, list(self.cfg.id_columns), "left_semi")
+
+    def filter_novel_keys(self, keyed: DataFrame) -> DataFrame:
+        """The cross-run novelty anti-join itself: keep rows of ``keyed``
+        (any frame carrying (shard, key)) whose key is NOT live in the
+        index. ONE definition shared by :meth:`novel_rows` and the
+        streaming ingest gate (`streaming.StreamingNoveltyIngest`), so
+        content-key / tombstone semantics cannot desynchronize between
+        the batch and streaming dedup paths."""
+        live = self.storage().select("shard", "key")
+        return keyed.join(live, ["shard", "key"], "left_anti")

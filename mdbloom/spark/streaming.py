@@ -162,9 +162,8 @@ class StreamingNoveltyIngest:
             .drop("_rn")
         if os.path.exists(os.path.join(self.index_path, "config.json")):
             from mdbloom.spark.query import BloomIndexReader
-            live = BloomIndexReader(self.spark, self.index_path) \
-                .storage().select("shard", "key")
-            firsts = firsts.join(live, ["shard", "key"], "left_anti")
+            firsts = BloomIndexReader(self.spark, self.index_path) \
+                .filter_novel_keys(firsts)
         return batch_df.join(firsts.select(*ids), ids, "left_semi")
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int):

@@ -150,7 +150,10 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     # corpus (measured 2x on q11). Persisting also retains the shingle
     # hash-partitioning, so the self-join below needs no further exchange.
     # At corpus scale the same role is played by a scratch table write;
-    # MEMORY_AND_DISK spills rather than evicting under pressure.
+    # MEMORY_AND_DISK spills rather than evicting under pressure. (No
+    # explicit unpersist is possible on a lazily returned frame; Spark's
+    # CacheManager dedups entries by canonicalized plan, so repeated
+    # calls over the same input reuse one entry instead of accumulating.)
     from pyspark import StorageLevel
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

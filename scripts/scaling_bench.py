@@ -92,7 +92,9 @@ spark = get_spark(f"scale{cores}", master=f"local[{cores}]",
                   # disk serialization to the engine
                   extra={"spark.local.dir": f"/dev/shm/mdbloom_shuffle_{cores}"})
 idx = f"/tmp/mdbloom_scale_{cores}"
-src = "/tmp/mdbloom_scale_src"  # shared: identical input bytes for N and 4N
+# shared: identical input bytes for N and 4N; keyed by size so a cached
+# corpus from a different-n run can never be silently reused
+src = f"/tmp/mdbloom_scale_src_{n_turns}"
 shutil.rmtree(idx, ignore_errors=True)
 # 256 shards: at local[32] a 64-shard layout quantizes the per-shard
 # stages into 2 task waves (bad tail latency); 256 gives 8 waves at the

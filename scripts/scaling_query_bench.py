@@ -38,7 +38,9 @@ N_QUERIES = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 N_REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 N_HIGH = N_LOW * 4
 IDX = f"/tmp/mdbloom_qscale_idx_{N_TURNS}"
-SRC = "/tmp/mdbloom_scale_src"
+# keyed by size: a cached corpus from a different-N run must never be
+# silently reused (it would mislabel the BENCH.md evidence)
+SRC = f"/tmp/mdbloom_scale_src_{N_TURNS}"
 
 BUILD = r"""
 import os, sys, time

@@ -198,3 +198,78 @@ def test_novel_rows_filters_known_content(spark, reader):
     assert set(out["conv_id"].str.startswith("nv_")) == {True}
     # idempotent: an empty probe stays empty
     assert reader.novel_rows(probe.where(F.lit(False))).count() == 0
+
+
+def test_search_verified_many_conjunctive_repeated_tags(spark, reader):
+    """Repeated same-tag tokens are CONJUNCTIVE, matching the singular
+    path's chained `where(col(tag) == val)`: two different role values
+    can never both hold, so the query is provably empty — the batched
+    spec must not collapse them last-wins."""
+    df = synthesize_transcripts(spark, 1500, seed=42)
+    queries = {
+        "two_roles": ["role=user", "role=assistant", "tok=w00001"],
+        "dup_same": ["role=assistant", "role=assistant", "tok=w00001"],
+    }
+    for via in ("slab", "linear"):
+        batched = reader.search_verified_many(queries, df, via=via) \
+            .toPandas()
+        assert (batched["query"] == "two_roles").sum() == 0, via
+        want = reader.search_verified(
+            ["role=assistant", "tok=w00001"], df).count()
+        assert (batched["query"] == "dup_same").sum() == want, via
+
+
+def test_linear_many_applies_per_query_gate_pruning(spark, tmp_path):
+    """Adversarial FP-asymmetry regression: a needle token lives only in
+    shard A, and shard B's rows carry saturated filters (tiny m, many
+    tokens) that are m-space SUPERSETS of the needle's bits. The token
+    gate prunes shard B for the needle query; the slab path therefore
+    never evaluates it there. search_linear_many must apply the SAME
+    per-query shard restriction — scanning the union of shards would
+    emit shard-B false positives the slab path provably excludes."""
+    import numpy as np
+
+    from mdbloom import bits as B
+
+    rows = [("convA", 0, "user", "needleword filler1 filler2", None)]
+    for i in range(20):
+        junk = " ".join(f"junk{i}_{j}" for j in range(20))
+        rows.append((f"convB{i:02d}", 0, "user", junk, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    cfg = IndexConfig(n_per_record=8, probability=0.5, n_shards=2,
+                      chunk_slots=64)
+    path = str(tmp_path / "advidx")
+    BloomIndexWriter(spark, cfg).build(df, path)
+    reader = BloomIndexReader(spark, path)
+
+    toks = ["tok=needleword"]
+    qbits = reader.query_bits(toks)
+    pruned = reader.prune_shards(qbits, toks)
+    st = reader.storage(keep_filter=True).toPandas()
+    needle_shard = int(st[st["conv_id"] == "convA"]["shard"].iloc[0])
+    # precondition 1: the gate actually prunes the junk shard
+    assert pruned == [needle_shard], (pruned, needle_shard)
+    # precondition 2: the junk shard holds >= 1 m-space-FP row for the
+    # needle (the row the un-restricted union scan would leak)
+    other = st[st["shard"] != needle_shard]
+    m = reader.shape.m
+    qwords = B.from_bits(qbits, m)
+    nz = np.flatnonzero(qwords)
+
+    def covers(filt):
+        fw = np.frombuffer(filt, dtype=B.U64)
+        return bool(np.all((fw[nz] & qwords[nz]) == qwords[nz]))
+
+    assert any(covers(f) for f in other["filter"]), \
+        "fixture no longer adversarial: junk filters don't cover needle"
+    # the SECOND query keeps the junk shard, so the batch's shard UNION
+    # includes it — only per-query restriction keeps the needle exact
+    queries = {"q": toks, "junk": ["tok=junk0_0"]}
+    lin = reader.search_linear_many(queries).toPandas()
+    slab = reader.search_many(queries).toPandas()
+    key = ["query", "conv_id", "turn_idx"]
+    assert (set(map(tuple, lin[key].itertuples(index=False)))
+            == set(map(tuple, slab[key].itertuples(index=False))))
+    assert set(lin[lin["query"] == "q"]["shard"]) <= {needle_shard}
