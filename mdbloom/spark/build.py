@@ -26,8 +26,7 @@ Spark pipeline (SURVEY §3.1):
      rows embed their slot keys, and the slot map is DERIVED from those
      blobs at read time (BloomIndexReader.slotmap) instead of being a
      third write. A manifest row per shard carries OR-summary (pruning),
-     per-bit distinct-filter counts (gate analogue), lineage fingerprint
-     and build timing.
+     lineage fingerprint and build timing.
 
 Scale notes (100 TB story):
   * the only wide exchange is the single repartition by ``shard``; skew is
@@ -69,7 +68,7 @@ def _filter_schema(df, id_columns) -> str:
 SLAB_SCHEMA = ("shard int, chunk long, slot_lo long, n_slots int, "
                "slab binary, keys_blob binary, build_ms double")
 MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
-                   "gate binary, build_ms double")
+                   "build_ms double")
 
 # process-wide mask caches keyed by shape (executor python workers are
 # reused across batches, so the 5k-token vocabulary hashes once per worker)
@@ -135,7 +134,7 @@ class IndexConfig:
     # build(resume=True) compares the FULL config.json — a version bump
     # therefore forces a clean rebuild instead of mixing old/new-schema
     # shard files (ADVICE r1: mixed-schema slabs dir after a change).
-    FORMAT_VERSION = 3
+    FORMAT_VERSION = 4
 
     def to_json(self) -> str:
         import json
@@ -355,11 +354,18 @@ class BloomIndexWriter:
     # ---------------- fingerprints ----------------
     def fingerprints(self, df: DataFrame) -> DataFrame:
         """(shard, n_turns, fingerprint): order-independent per-shard input
-        fingerprint = count + bit_xor(xxhash64(id columns + text))."""
+        fingerprint = count + bit_xor(xxhash64 over EVERY indexed column —
+        ids, text, tag columns AND payload columns). Tag/payload columns
+        must participate: a row whose tool flips from 'grep' to 'bash'
+        (ids and text unchanged) changes its filter and its stored
+        payload, so resume must see the shard as dirty."""
         cfg = self.cfg
+        seen = set(cfg.id_columns)
         cols = [F.col(c) for c in cfg.id_columns]
-        if cfg.text_column and cfg.text_column in df.columns:
-            cols.append(F.col(cfg.text_column))
+        for c in (cfg.text_column, *cfg.tag_columns, *cfg.payload_columns):
+            if c and c in df.columns and c not in seen:
+                seen.add(c)
+                cols.append(F.col(c))
         sharded = df.withColumn(
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
@@ -456,20 +462,23 @@ class BloomIndexWriter:
 
         def mk(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
-            gate = np.zeros(shape.m, dtype=np.int64)
+            # OR-summary only: bit b is set iff ANY slot in the shard has
+            # it, i.e. slab row b has a nonzero word (no popcount pass —
+            # the per-bit count vector the v3 format stored here was
+            # never read by any query path)
+            nz = np.zeros(shape.m, dtype=bool)
             n_slots = 0
             for _, row in pdf.iterrows():
                 slab = np.frombuffer(row["slab"], dtype=B.U64).reshape(
                     shape.m, -1)
-                gate += B.popcount64(slab).sum(axis=1)
+                nz |= (slab != 0).any(axis=1)
                 n_slots += int(row["n_slots"])
-            summary = B.pack_bits_matrix((gate > 0).astype(np.uint8))
+            summary = B.pack_bits_matrix(nz.astype(np.uint8))
             return pd.DataFrame([{
                 "shard": shard,
                 "n_slots": n_slots,
                 "n_chunks": len(pdf),
                 "summary": B.to_bytes(summary),
-                "gate": gate.astype("<i8").tobytes(),
                 "build_ms": float(pdf["build_ms"].sum()),
             }])
 
@@ -493,13 +502,13 @@ class BloomIndexWriter:
             _last[0] = now
 
         os.makedirs(path, exist_ok=True)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         # fingerprint pass runs exactly once; resume matching is a pandas
         # merge on the tiny collected result
         fp_pdf = self.fingerprints(df).toPandas()
         _mark("fingerprints")
         skip_shards: list[int] = []
+        removed_shards: list[int] = []
         old_manifest = None
         manifest_path = os.path.join(path, "manifest")
         # a resume against an index built with a DIFFERENT config (other
@@ -510,16 +519,47 @@ class BloomIndexWriter:
             with open(cfg_path) as f:
                 if f.read() != self.cfg.to_json():
                     resume = False
+        if not resume:
+            # clean slate: partition-overwrite only replaces partitions
+            # PRESENT in the new build, so shards absent from it (and any
+            # old tombstones) would survive as ghosts — storage()/slotmap/
+            # empty-query search read the whole directory
+            import shutil
+            for sub in ("storage", "slabs", "tombstones", "manifest"):
+                shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
         if resume and os.path.exists(manifest_path):
-            old_manifest = spark.read.parquet(manifest_path)
+            # eager: immune to the manifest tmp+rename rewrites below
+            old_manifest = spark.read.parquet(manifest_path) \
+                .localCheckpoint(eager=True)
             old_fp = old_manifest.select("shard", "n_turns",
                                          "fingerprint").toPandas()
             matched = fp_pdf.merge(
                 old_fp, on=["shard", "n_turns", "fingerprint"], how="inner")
             skip_shards = [int(s) for s in matched["shard"]]
+            # shards in the index with ZERO surviving input rows (e.g. a
+            # fully tombstoned shard being compacted) have no fingerprint
+            # row at all — the rebuild loop below would never touch them,
+            # resurrecting their rows once tombstones are dropped. Remove
+            # their artifacts and manifest rows explicitly.
+            removed_shards = sorted(set(int(s) for s in old_fp["shard"])
+                                    - set(int(s) for s in fp_pdf["shard"]))
+            if removed_shards:
+                import shutil
+                for s in removed_shards:
+                    for sub in ("storage", "slabs"):
+                        shutil.rmtree(
+                            os.path.join(path, sub, f"shard={s}"),
+                            ignore_errors=True)
+                old_manifest = old_manifest.where(
+                    ~F.col("shard").isin(removed_shards))
         build_shards = sorted(set(fp_pdf["shard"]) - set(skip_shards))
         if not build_shards:
+            if removed_shards:
+                # nothing to rebuild, but the manifest must still shed the
+                # removed shards' rows
+                self._write_manifest(old_manifest, manifest_path)
             return {"built": 0, "skipped": len(skip_shards),
+                    "removed": len(removed_shards),
                     "rows": 0, "sec": time.monotonic() - t0}
 
         src = df if not skip_shards else df.where(
@@ -542,8 +582,15 @@ class BloomIndexWriter:
         # parquet bloom filter on the content key: exact-get (key
         # equality) prunes row groups without reading them — the
         # file-format face of the reference's O(1) content-addressed get
+        # dynamic partition overwrite as a PER-WRITE option (not a session
+        # conf mutation, which would silently change the semantics of the
+        # caller's own later partitioned overwrites): only the partitions
+        # present in this build are replaced, which is exactly what resume
+        # needs — and safe, because the clean-slate / removed-shards logic
+        # above already deleted every partition this build won't rewrite
         (f.select("shard", "key", *storage_cols, "filter")
          .write.mode("overwrite").partitionBy("shard")
+         .option("partitionOverwriteMode", "dynamic")
          .option("parquet.bloom.filter.enabled#key", "true")
          .parquet(os.path.join(path, "storage")))
         _mark("hash_storage_write")
@@ -557,6 +604,7 @@ class BloomIndexWriter:
                   .select("shard", "key", "filter"))
         (stored.mapInPandas(self._slab_mapper(), schema=SLAB_SCHEMA)
          .write.mode("overwrite").partitionBy("shard")
+         .option("partitionOverwriteMode", "dynamic")
          .parquet(os.path.join(path, "slabs")))
         _mark("slab_write")
 
@@ -594,23 +642,29 @@ class BloomIndexWriter:
                 old_manifest.where(F.col("shard").isin(skip_shards)))
         else:
             manifest_all = manifest_new
-        # small table: single file, overwritten atomically via temp+rename.
-        # repartition(1), NOT coalesce(1): coalesce would propagate the
-        # 1-task constraint upstream into the gate/manifest computation
-        tmp = manifest_path + "_tmp"
-        manifest_all.repartition(1).write.mode("overwrite").parquet(tmp)
-        import shutil
-        if os.path.exists(manifest_path):
-            shutil.rmtree(manifest_path)
-        os.rename(tmp, manifest_path)
+        self._write_manifest(manifest_all, manifest_path)
         _mark("manifest_gate_write")
 
         with open(os.path.join(path, "config.json"), "w") as f:
             f.write(self.cfg.to_json())
 
         return {"built": len(build_shards), "skipped": len(skip_shards),
+                "removed": len(removed_shards),
                 "rows": int(n_rows), "sec": time.monotonic() - t0,
                 "phases": phases}
+
+    @staticmethod
+    def _write_manifest(mdf: DataFrame, manifest_path: str) -> None:
+        """Small table: single file, overwritten atomically via
+        temp+rename. repartition(1), NOT coalesce(1): coalesce would
+        propagate the 1-task constraint upstream into the gate/manifest
+        computation."""
+        import shutil
+        tmp = manifest_path + "_tmp"
+        mdf.repartition(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(manifest_path):
+            shutil.rmtree(manifest_path)
+        os.rename(tmp, manifest_path)
 
     # ---------------- deletes (C4 at scale) ----------------
     #

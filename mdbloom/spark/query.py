@@ -474,7 +474,16 @@ class BloomIndexReader:
         broad query batches — a hash join skips the two full sorts an SMJ
         would pay (AQE still downgrades to broadcast when the key side is
         tiny)."""
-        keys = self.search_keys_many(queries).select("query", "shard", "key")
+        keys = (self.search_keys_many(queries)
+                .select("query", "shard", "key")
+                # a filter stored under several ids can occupy several
+                # slots (the slab pass dedups keys only within a task's
+                # buffer — cross-batch/task duplicates are data-dependent);
+                # the reference keeps ONE index entry per distinct filter
+                # (FlatBloofi.java:153-154), so dedup by key before the
+                # inner join or every extra slot would duplicate each
+                # matching storage row
+                .dropDuplicates(["query", "shard", "key"]))
         return self.storage().join(keys.hint("shuffle_hash"),
                                    ["shard", "key"], "inner")
 
