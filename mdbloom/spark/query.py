@@ -64,7 +64,16 @@ def _plan_struct_sql(name: str, pairs: list[tuple[int, int]],
     as array<null>. An empty/None shard list means "no restriction"
     (the query kept every shard), keeping the literal tiny in the
     common all-shards-survive case."""
-    q = name.replace("'", "''")
+    # Spark SQL string literals process C-style escapes by default
+    # (spark.sql.parser.escapedStringLiterals=false), so a backslash in a
+    # query name would be escape-interpreted ('win\path' -> 'winpath') —
+    # escape backslashes FIRST, then quotes; reject control characters
+    # the literal form cannot carry (the broadcast-join form keeps names
+    # verbatim, and the two forms must stay bit-identical)
+    if any(ord(c) < 0x20 for c in name):
+        raise ValueError(
+            f"query name {name!r} contains control characters")
+    q = name.replace("\\", "\\\\").replace("'", "\\'")
     sh = ("CAST(array() AS array<int>)" if not shards
           else "array(%s)" % ",".join(str(s) for s in shards))
     if not pairs:
@@ -325,7 +334,6 @@ class BloomIndexReader:
         m = self.shape.m
         qbits_l = qbits.tolist()
         slabs = self.slabs().where(F.col("shard").isin(shards))
-        with_keys = "keys_blob" in slabs.columns
 
         def scan(iterator):
             qb = np.asarray(qbits_l, dtype=np.int64)
@@ -336,30 +344,25 @@ class BloomIndexReader:
                         .reshape(m, -1)
                     hits = K.query_slab(slab, qb, int(row["n_slots"]))
                     if hits.size:
-                        out = {
+                        blob = row["keys_blob"]
+                        if blob is None:  # mixed-format artifact
+                            raise ValueError(
+                                "slab row lacks keys_blob: index mixes "
+                                "on-disk formats; rebuild (resume "
+                                "forces this via config format_version)")
+                        outs.append(pd.DataFrame({
                             "shard": int(row["shard"]),
                             "slot": hits + int(row["slot_lo"]),
-                        }
-                        if with_keys:
-                            blob = row["keys_blob"]
-                            if blob is None:  # mixed-format artifact
-                                raise ValueError(
-                                    "slab row lacks keys_blob: index mixes "
-                                    "on-disk formats; rebuild (resume "
-                                    "forces this via config format_version)")
-                            out["key"] = _hex_keys(blob)[hits]
-                        outs.append(pd.DataFrame(out))
+                            "key": _hex_keys(blob)[hits],
+                        }))
                 if outs:
                     yield pd.concat(outs)
 
-        if with_keys:
-            # chunk rows embed their slot keys (one fixed-width blob):
-            # the scan resolves slot -> key locally, no slotmap join
-            return slabs.mapInPandas(
-                scan, schema=HIT_SCHEMA + ", key string")
-        hits_df = slabs.mapInPandas(scan, schema=HIT_SCHEMA)
-        return hits_df.join(slotmap.where(F.col("shard").isin(shards)),
-                            ["shard", "slot"], "inner")
+        # chunk rows embed their slot keys (one fixed-width blob): the
+        # scan resolves slot -> key locally, no slotmap join. Format v3+
+        # always embeds keys_blob and __init__ rejects older artifacts,
+        # so there is no fallback path.
+        return slabs.mapInPandas(scan, schema=HIT_SCHEMA + ", key string")
 
     def search_keys_many(self, queries: dict) -> DataFrame:
         """Batched containment search: ``{name: [tokens...]}`` -> one slab
@@ -415,7 +418,6 @@ class BloomIndexReader:
                 concat.extend(qb)
             shard_plans[s] = ([n for n, _ in entries], concat, offs)
         slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
-        with_keys = "keys_blob" in slabs.columns
 
         def scan(iterator):
             cache = {
@@ -436,35 +438,26 @@ class BloomIndexReader:
                         slab, concat, offs, int(row["n_slots"]))
                     if q_idx.size == 0:
                         continue
-                    out = {
+                    blob = row["keys_blob"]
+                    if blob is None:  # mixed-format artifact
+                        raise ValueError(
+                            "slab row lacks keys_blob: index "
+                            "mixes on-disk formats; rebuild "
+                            "(resume forces this via config "
+                            "format_version)")
+                    outs.append(pd.DataFrame({
                         "query": names_arr[q_idx],
                         "shard": int(row["shard"]),
                         "slot": slots + int(row["slot_lo"]),
-                    }
-                    if with_keys:
-                        blob = row["keys_blob"]
-                        if blob is None:  # mixed-format artifact
-                            raise ValueError(
-                                "slab row lacks keys_blob: index "
-                                "mixes on-disk formats; rebuild "
-                                "(resume forces this via config "
-                                "format_version)")
-                        out["key"] = _hex_keys(blob)[slots]
-                    outs.append(pd.DataFrame(out))
+                        "key": _hex_keys(blob)[slots],
+                    }))
                 if outs:
                     yield pd.concat(outs)
 
-        if with_keys:
-            joined = slabs.mapInPandas(
-                scan, schema="query string, shard int, slot long, "
-                             "key string")
-        else:
-            hits_df = slabs.mapInPandas(
-                scan, schema="query string, shard int, slot long")
-            joined = hits_df.join(
-                slotmap.where(F.col("shard").isin(sorted(all_shards))),
-                ["shard", "slot"], "inner").select("query", "shard", "slot",
-                                                   "key")
+        # format v3+ always embeds keys_blob (__init__ rejects older
+        # artifacts) — keys resolve in-scan, no slotmap-join fallback
+        joined = slabs.mapInPandas(
+            scan, schema="query string, shard int, slot long, key string")
         return joined.unionByName(all_part) if match_all else joined
 
     def search_many(self, queries: dict) -> DataFrame:
@@ -659,6 +652,13 @@ class BloomIndexReader:
                     F.split(F.col(cfg.text_column), r"\s+"), val))
             elif tag in cfg.tag_columns:
                 out = out.where(F.col(tag) == val)
+            else:
+                # an unrecognized tag was still HASHED into the query
+                # bits, so skipping its verification would return pure
+                # Bloom false positives as "exact" results — reject
+                raise ValueError(
+                    f"cannot verify token {tok!r}: tag must be 'tok' or "
+                    f"one of {tuple(cfg.tag_columns)}")
         return out
 
     def search_verified_many(self, queries: dict, source_df: DataFrame,
@@ -694,6 +694,13 @@ class BloomIndexReader:
                     words.append(val)
                 elif tag in tags:
                     tags[tag].append(val)
+                else:
+                    # same rejection as search_verified: a token the spec
+                    # cannot re-check must not silently pass as verified
+                    raise ValueError(
+                        f"cannot verify token {tok!r} (query {name!r}): "
+                        f"tag must be 'tok' or one of "
+                        f"{tuple(cfg.tag_columns)}")
             spec_rows.append((name, *[tags[c] for c in cfg.tag_columns],
                               words))
         spec_schema = ("query string, "

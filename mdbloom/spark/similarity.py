@@ -317,7 +317,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     cos = (_dot(F.col("va"), F.col("vb"))
            / (F.sqrt(_dot(F.col("va"), F.col("va")))
               * F.sqrt(_dot(F.col("vb"), F.col("vb")))))
+    # pairs is already unique on (id_a, id_b) — no second dedup
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-            .dropDuplicates(["id_a", "id_b"]))
+            .select("id_a", "id_b", "cosine"))

@@ -144,9 +144,17 @@ class StreamingNoveltyIngest:
         self.accepted_total = 0
         self.rejected_total = 0
 
+    # reserved sink columns carrying each accepted row's content key, so
+    # a REPLAYED batch can be rejected against the sink itself even when
+    # the crash happened between the sink append and the index rebuild —
+    # the sink (not the index) is the idempotency source of truth
+    _SHARD_COL = "_novelty_shard"
+    _KEY_COL = "_novelty_key"
+
     def _accept(self, batch_df: DataFrame) -> DataFrame:
         """The novelty gate for one batch (also usable on a static
-        DataFrame): returns the accepted subset of ``batch_df``."""
+        DataFrame): returns the accepted subset of ``batch_df`` plus the
+        reserved (shard, key) columns the sink persists."""
         import os
 
         from pyspark.sql import Window
@@ -164,21 +172,44 @@ class StreamingNoveltyIngest:
             from mdbloom.spark.query import BloomIndexReader
             firsts = BloomIndexReader(self.spark, self.index_path) \
                 .filter_novel_keys(firsts)
-        return batch_df.join(firsts.select(*ids), ids, "left_semi")
+        if os.path.exists(self.sink_path):
+            # keys already ACCEPTED in an earlier (possibly half-failed)
+            # batch: reject them even if the index rebuild never ran
+            sunk = (self.spark.read.parquet(self.sink_path)
+                    .select(F.col(self._SHARD_COL).alias("shard"),
+                            F.col(self._KEY_COL).alias("key"))
+                    .dropDuplicates(["shard", "key"]))
+            firsts = firsts.join(sunk, ["shard", "key"], "left_anti")
+        return batch_df.join(
+            firsts.select(*ids,
+                          F.col("shard").alias(self._SHARD_COL),
+                          F.col("key").alias(self._KEY_COL)),
+            ids, "inner")
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int):
+        import os
+
         from mdbloom.spark.build import BloomIndexWriter
 
         n_in = batch_df.count()
         if not n_in:
             self.batches_seen += 1
             return
-        accepted = self._accept(batch_df)
+        # one materialization: the gate plan (hash pass + window dedup +
+        # two anti-joins) would otherwise run twice (count, then write)
+        accepted = self._accept(batch_df).localCheckpoint(eager=True)
         n_new = accepted.count()
         if n_new:
             accepted.write.mode("append").parquet(self.sink_path)
+        if os.path.exists(self.sink_path):
+            # ALWAYS converge the index to the sink (not only when this
+            # batch accepted rows): if a previous batch died between its
+            # sink append and its rebuild, the replay accepts nothing yet
+            # the index is still behind — resume fingerprint-skips every
+            # unchanged shard, so a current index makes this a no-op
             BloomIndexWriter(self.spark, self.cfg).build(
-                self.spark.read.parquet(self.sink_path),
+                self.spark.read.parquet(self.sink_path)
+                .drop(self._SHARD_COL, self._KEY_COL),
                 self.index_path, resume=True)
         self.batches_seen += 1
         self.accepted_total += n_new

@@ -85,10 +85,10 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Keep one document (min id) per distinct normalized text."""
+    from pyspark.sql import Window
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     w = F.row_number().over(
-        __import__("pyspark").sql.window.Window
-        .partitionBy(F.md5(norm)).orderBy(F.col(id_col)))
+        Window.partitionBy(F.md5(norm)).orderBy(F.col(id_col)))
     return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
 
 
@@ -206,19 +206,34 @@ def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 3,
                 continue
             flat = np.concatenate([s for s in shingle_lists if s.size])
             base = hash64(flat, seed=0x5109)
+            n_docs = int(keep.sum())
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts[keep], out=offsets[1:])
+            rows = np.repeat(np.arange(n_docs), counts[keep])
+            ids = pdf[id_col].to_numpy()[keep]
+            # BLOCK the (T, P) permutation matrix: one unblocked temp at
+            # 65536-row Arrow batches of long documents is tens of GB —
+            # per block, a reduceat segment-min folds into the running
+            # per-doc minima (segment boundaries clipped to the block;
+            # every doc spanning the block has >= 1 token inside it)
+            mins = np.full((n_docs, num_perm),
+                           np.iinfo(np.uint64).max, dtype=np.uint64)
+            BLOCK = 1 << 18  # 256k shingles x P x 8B per temp
             old = np.seterr(over="ignore")
             try:
-                # (T, P) permuted hashes via xor-mix per seed
-                perms = splitmix64(base[:, None] ^ seeds[None, :])
+                for lo in range(0, len(base), BLOCK):
+                    hi = min(lo + BLOCK, len(base))
+                    perms = splitmix64(base[lo:hi, None] ^ seeds[None, :])
+                    d0, d1 = int(rows[lo]), int(rows[hi - 1])
+                    starts = np.clip(offsets[d0:d1 + 1], lo, hi) - lo
+                    blockmin = np.minimum.reduceat(perms, starts, axis=0)
+                    np.minimum(mins[d0:d1 + 1], blockmin,
+                               out=mins[d0:d1 + 1])
             finally:
                 np.seterr(**old)
-            offsets = np.zeros(int(keep.sum()) + 1, dtype=np.int64)
-            np.cumsum(counts[keep], out=offsets[1:])
-            ids = pdf[id_col].to_numpy()[keep]
-            for r in range(len(ids)):
-                seg = perms[offsets[r]:offsets[r + 1]]
-                out_ids.append(ids[r])
-                out_sigs.append(seg.min(axis=0).astype(np.int64).tolist())
+            sig64 = mins.astype(np.int64)
+            out_ids.extend(ids)
+            out_sigs.extend(row.tolist() for row in sig64)
             yield pd.DataFrame({id_col: out_ids, "sig": out_sigs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -318,18 +333,31 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
                 continue
             toks = pdf[text_col].fillna("").str.split()
             counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            # zero-token docs are dropped DETERMINISTICALLY (like
+            # minhash_signatures' keep mask) — emitting them only when
+            # they share a batch with tokenized docs made output
+            # cardinality depend on partitioning
+            keep = counts > 0
+            if not keep.any():
+                continue
             flat_list = [np.asarray(t, dtype=object)
                          for t in toks.to_list() if t]
-            ids = pdf[id_col].to_numpy()
-            if not flat_list:
-                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            counts = counts[keep]
             flat = np.concatenate(flat_list)
             h = hash64(flat, seed=0x51A4)
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                    ).astype(np.int64) * 2 - 1  # (T, 64) in {-1, +1}
-            rows = np.repeat(np.arange(len(pdf)), counts)
-            votes = np.zeros((len(pdf), 64), dtype=np.int64)
-            np.add.at(votes, rows, bits)
+            # block the (T, 64) vote matrix: at 65536-row Arrow batches a
+            # single temporary would be tens of GB for long documents —
+            # bound it like kernel.py's cache-blocked kernels
+            n_docs = len(ids)
+            votes = np.zeros((n_docs, 64), dtype=np.int64)
+            rows = np.repeat(np.arange(n_docs), counts)
+            BLOCK = 1 << 18  # 256k tokens x 64 x 8B = 128 MB per temp
+            for lo in range(0, len(flat), BLOCK):
+                hi = min(lo + BLOCK, len(flat))
+                bits = ((h[lo:hi, None] >> bit_idx[None, :])
+                        & np.uint64(1)).astype(np.int64) * 2 - 1
+                np.add.at(votes, rows[lo:hi], bits)
             sims = ((votes > 0).astype(np.uint64)
                     << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({id_col: ids,
@@ -388,7 +416,10 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
             F.struct(
                 F.lit(b_).alias("band"),
                 F.shiftrightunsigned(F.col("simhash"), b_ * width)
-                .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
+                # width=64 (max_hamming=0): (1<<64)-1 overflows LongType;
+                # -1 is the all-ones 64-bit mask in two's complement
+                .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
+                .alias("piece"))
             for b_ in range(bands)])).alias("bb"))
     pieces = pieces.select(id_col, "simhash", "bb.band", "bb.piece")
     # both self-join sides read pieces; materialize so the signature pass

@@ -96,7 +96,23 @@ def test_sql_bigint_min_long_and_quote_escape():
     assert _sql_bigint(-(2 ** 63)) == "(-9223372036854775807L - 1L)"
     assert _sql_bigint(-1) == "-1L"
     s = _plan_struct_sql("o'brien", [(1, -(2 ** 63))])
-    assert "o''brien" in s and "(-9223372036854775807L - 1L)" in s
+    assert "o\\'brien" in s and "(-9223372036854775807L - 1L)" in s
+    # C-style escape processing would mangle backslashes without \\
+    assert "win\\\\path" in _plan_struct_sql("win\\path", [(1, 1)])
+    with pytest.raises(ValueError, match="control"):
+        _plan_struct_sql("bad\nname", [(1, 1)])
+
+
+def test_search_linear_many_adversarial_query_names(spark, reader):
+    """Names with quotes and backslashes must round-trip VERBATIM through
+    the SQL-text literal form (the broadcast form keeps them verbatim, so
+    the two physical forms must agree)."""
+    toks = reader.transcript_query_tokens("assistant", None, ["w00001"])
+    queries = {"o'brien": toks, "win\\path": toks, "pl'a\\in": toks}
+    out = reader.search_linear_many(queries).toPandas()
+    assert set(out["query"]) == set(queries)
+    counts = out.groupby("query").size()
+    assert len(set(counts)) == 1, "same tokens must hit the same rows"
 
 
 def _turn_tokens(row) -> list:

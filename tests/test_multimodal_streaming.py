@@ -209,3 +209,53 @@ def test_streaming_novelty_ingest(spark, tmp_path):
                    & F.array_contains(F.split("text", r"\s+"), "w00001"))
             .select("conv_id", "turn_idx").collect()}
     assert want and got == want
+
+
+def test_novelty_ingest_idempotent_across_partial_failure(spark, tmp_path,
+                                                          monkeypatch):
+    """Crash BETWEEN the sink append and the index rebuild, then replay
+    the same microbatch: the sink must not gain duplicates (the sink's
+    own persisted keys reject replayed rows even though the index never
+    saw them) and the index must still converge to the sink."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+    from mdbloom.spark.streaming import StreamingNoveltyIngest
+
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
+                      chunk_slots=64)
+    rows = [(f"c{i:02d}", 0, "user", f"tokn{i} shared tail{i % 3}", None)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    sink = str(tmp_path / "sink")
+    idx = str(tmp_path / "idx")
+    ingest = StreamingNoveltyIngest(spark, cfg, idx, sink)
+
+    orig_build = BloomIndexWriter.build
+    state = {"fail": True}
+
+    def flaky_build(self, *a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("injected crash after sink append")
+        return orig_build(self, *a, **k)
+
+    monkeypatch.setattr(BloomIndexWriter, "build", flaky_build)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest._on_batch(df, 0)
+    # sink was appended, index rebuild died
+    assert spark.read.parquet(sink).count() == 30
+    import os
+    assert not os.path.exists(os.path.join(idx, "config.json"))
+
+    ingest._on_batch(df, 0)  # the stream replays the SAME batch
+    assert spark.read.parquet(sink).count() == 30, "replay duplicated sink"
+    r = BloomIndexReader(spark, idx)
+    assert r.value_count() == 30, "index did not converge to the sink"
+    # a genuinely new batch still flows through
+    more = spark.createDataFrame(
+        [("d00", 0, "user", "brandnew words here", None)], df.schema)
+    ingest._on_batch(more, 1)
+    assert spark.read.parquet(sink).count() == 31
+    assert BloomIndexReader(spark, idx).value_count() == 31
