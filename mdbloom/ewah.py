@@ -121,6 +121,12 @@ class EwahBitmap:
                 and self.n_words == other.n_words
                 and bool(np.array_equal(self.to_dense(), other.to_dense())))
 
+    def __hash__(self) -> int:
+        # defining __eq__ alone would set __hash__ = None (unhashable);
+        # bitmaps are value objects (every op returns a new instance), so
+        # hash over the dense content
+        return hash((self.n_words, self.to_dense().tobytes()))
+
 
 # ---------------- internals ----------------
 

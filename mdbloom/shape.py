@@ -90,7 +90,11 @@ class Shape:
         (`ContainerImpl.java:70-72,92-93`)."""
         pop = estimated_population
         if pop is None:
-            pop = max(1, int(round(1.0 / max(self.probability, 1e-12))))
+            pop = int(round(1.0 / max(self.probability, 1e-12)))
+        # floor applies to BOTH branches: a measured population of 0
+        # (empty dataset) must fall back to a valid 1-element gate, not
+        # propagate n=0 into Shape.from_np's ValueError
+        pop = max(1, pop)
         return Shape.from_np(pop, self.probability if 0 < self.probability < 1 else 1e-4)
 
     def to_dict(self) -> dict:

@@ -14,7 +14,7 @@ import struct
 import numpy as np
 
 from mdbloom import bits as B
-from mdbloom.hashing import hash_unique_tokens, km_positions_matrix
+from mdbloom.hashing import km_positions_matrix
 from mdbloom.shape import Shape
 from mdbloom.sketches.common import hash64
 
@@ -135,4 +135,8 @@ class CountingBloomSketch:
             raise ValueError("not a CountingBloomSketch payload")
         shape = Shape.from_mk(m, k, n=n)
         counts = np.frombuffer(raw[16:], dtype="<i8").copy()
+        if counts.size != m:
+            raise ValueError(
+                f"CountingBloomSketch payload: expected {m} counters, "
+                f"got {counts.size}")
         return CountingBloomSketch(shape, counts)

@@ -76,4 +76,10 @@ class HllSketch:
         if magic != _MAGIC:
             raise ValueError("not an HllSketch payload")
         regs = np.frombuffer(raw[8:], dtype=np.uint8).copy()
+        if regs.size != (1 << p):
+            # a truncated payload would otherwise yield a sketch that
+            # silently returns wrong estimates and crashes on update
+            raise ValueError(
+                f"HllSketch payload: expected {1 << p} registers "
+                f"(p={p}), got {regs.size}")
         return HllSketch(p, regs)

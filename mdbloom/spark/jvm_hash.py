@@ -44,15 +44,23 @@ def _tet(k: int) -> list[int]:
     return [(i ** 3 - i) // 6 for i in range(k)]
 
 
-def tokens_col(cfg) -> Column:
+def tokens_col(cfg, available: set | None = None) -> Column:
     """array<string> of tagged dimension tokens per record, identical
     tokenization to build.record_tokens_pandas (whitespace split, 'col='
-    tags, null/'none' tags skipped)."""
+    tags, null/'none' tags skipped). ``available``: the input DataFrame's
+    column set — configured tag columns absent from it are skipped, like
+    the pandas backend's ``if col not in pdf.columns`` guard. The 'none'
+    compare runs on the STRING cast (a raw compare against a non-string
+    tag column would crash under ANSI or null out under non-ANSI,
+    silently dropping every token of that dimension)."""
     parts = []
     for col in cfg.tag_columns:
+        if available is not None and col not in available:
+            continue
+        sv = F.col(col).cast("string")
         tagged = F.when(
-            F.col(col).isNotNull() & (F.col(col) != "none"),
-            F.array(F.concat(F.lit(f"{col}="), F.col(col).cast("string")))
+            sv.isNotNull() & (sv != "none"),
+            F.array(F.concat(F.lit(f"{col}="), sv))
         ).otherwise(F.array().cast("array<string>"))
         parts.append(tagged)
     if cfg.text_column:
@@ -123,7 +131,7 @@ def positions_array_sql(shape: Shape) -> str:
     :meth:`JvmTokenHasher.positions` and mdbloom.hashing. Null token (a
     record with no dimensions) maps to an empty array."""
     m, k = shape.m, shape.k
-    tet = [((i ** 3 - i) // 6) % m for i in range(k)]
+    tet = [t % m for t in _tet(k)]  # ONE tetrahedral-term source
     pos = ", ".join(
         f"pmod(pmod(xxhash64(_t), {m}) + {i} * pmod(xxhash64(_t, 1), {m})"
         f" + {tet[i]}, {m})" for i in range(k))
@@ -133,8 +141,10 @@ def positions_array_sql(shape: Shape) -> str:
 def exploded_token_rows(sharded_df, cfg, id_cols) -> "DataFrame":
     """(shard, *ids, _t): one codegen'd row per record token; token-less
     records yield a single null-token row (explode_outer)."""
-    return sharded_df.select("shard", *id_cols,
-                             F.explode_outer(tokens_col(cfg)).alias("_t"))
+    return sharded_df.select(
+        "shard", *id_cols,
+        F.explode_outer(
+            tokens_col(cfg, set(sharded_df.columns))).alias("_t"))
 
 
 def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
@@ -161,7 +171,7 @@ def aggregated_filter_words(sharded_df, cfg, id_cols) -> "DataFrame":
         # columns are materialized once in a projection; each word is a
         # k-term IF/shiftleft OR-chain. Guarded by k*W so the generated
         # method stays well under the JVM codegen limits.
-        tet = [((i ** 3 - i) // 6) % m for i in range(k)]
+        tet = [t % m for t in _tet(k)]  # ONE tetrahedral-term source
         # null token (a token-less record's explode_outer row) -> sentinel
         # position -64, whose `div 64` is -1 and matches no word: such
         # records aggregate to the all-zero filter. (xxhash64(null) would
@@ -276,14 +286,21 @@ class JvmTokenHasher:
     fraction shape a 1000-executor cluster needs), then the same
     enhanced-double-hashing arithmetic in NumPy."""
 
+    # same open-vocabulary cap as hashing.TokenMaskCache.MAX_ENTRIES: a
+    # long-lived driver serving id-like query tokens must not grow the
+    # memo unboundedly
+    MAX_ENTRIES = 1 << 20
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._hashes: dict[str, tuple[int, int]] = {}
 
     def _ensure(self, tokens) -> None:
-        for t in tokens:
-            if t not in self._hashes:
-                self._hashes[t] = spark_xxhash64_pair(t)
+        toks = [t for t in tokens if t not in self._hashes]
+        if len(self._hashes) + len(toks) > self.MAX_ENTRIES:
+            self._hashes.clear()
+        for t in toks:
+            self._hashes[t] = spark_xxhash64_pair(t)
 
     def _ensure_spark(self, tokens) -> None:
         """The retired job-based path, kept for the parity test."""

@@ -81,11 +81,13 @@ def extract_features(df: DataFrame, decoder: Callable | None = None,
     of the payload — a placeholder embedding with the real batch plumbing).
     ``sample_every`` drives the frame-sampling arithmetic for video.
 
-    Only the DECODE call is per-row (a codec is inherently per-payload);
-    the feature math is vectorized across the whole Arrow batch: payloads
-    are padded into one (N, max_len) float32 matrix with NaN tails and
-    mean/std/quantiles run once along axis=1 (VERDICT r1 item 9 — no
-    per-row numpy in the statistics)."""
+    Only the DECODE call and the per-payload quantile are per-row (a
+    codec is inherently per-payload; payloads are KB-MB so each call is
+    itself a vectorized NumPy op); mean/std run as segment-reduceat over
+    ONE concatenated array — O(total payload bytes) memory. (The earlier
+    padded (N, max_len) matrix was O(N * max_len): one 50 MB video in a
+    batch of small images allocated orders of magnitude more than the
+    data.)"""
     dec = decoder or (lambda p, k: decode_image(p))
     q_grid = np.linspace(0, 1, feat_dim - 2)
 
@@ -98,13 +100,23 @@ def extract_features(df: DataFrame, decoder: Callable | None = None,
             metas = [dec(bytes(p), k)
                      for p, k in zip(pdf["payload"], pdf["kind"])]
             lens = np.array([len(a) for a in payloads], dtype=np.int64)
-            mat = np.full((len(payloads), int(lens.max() or 1)), np.nan,
-                          dtype=np.float32)
-            for i, a in enumerate(payloads):   # one slice-assign per row,
-                mat[i, :len(a)] = a            # stats below are batched
-            means = np.nanmean(mat, axis=1)
-            stds = np.nanstd(mat, axis=1)
-            qs = np.nanquantile(mat, q_grid, axis=1).T  # (N, feat_dim-2)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            concat = (np.concatenate(payloads).astype(np.float64)
+                      if lens.sum() else np.zeros(1))
+            safe = lens > 0  # reduceat on an empty segment is undefined
+            denom = np.where(safe, lens, 1).astype(np.float64)
+            sums = np.add.reduceat(concat, np.minimum(
+                starts, len(concat) - 1))
+            sumsq = np.add.reduceat(concat * concat, np.minimum(
+                starts, len(concat) - 1))
+            means = np.where(safe, sums / denom, np.nan)
+            var = np.maximum(sumsq / denom - (sums / denom) ** 2, 0.0)
+            stds = np.where(safe, np.sqrt(var), np.nan)
+            qs = np.stack([
+                np.quantile(a, q_grid) if a.size
+                else np.full(len(q_grid), np.nan)
+                for a in payloads])                     # (N, feat_dim-2)
             feats = np.column_stack([means, stds, qs]).astype(np.float32)
             n_frames = np.array([m["n_frames"] for m in metas],
                                 dtype=np.int64)

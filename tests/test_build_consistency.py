@@ -135,3 +135,25 @@ def test_duplicate_filters_across_batches_search_once(spark, tmp_path):
     assert sorted(out["conv_id"]) == ["conv0_0", "conv1_0"]
     # single-query path agrees
     assert r.search(["tok=alpha0"]).count() == 2
+
+
+def test_jvm_tokenizer_nonstring_and_missing_tag_columns(spark, tmp_path):
+    """The jvm tokenizer must match the pandas backend's tolerance: an
+    int tag column must not crash (ANSI cast of 'none' to bigint) or
+    silently drop its tokens, and a configured tag column absent from
+    the input is skipped, not an AnalysisException."""
+    cfg = IndexConfig(n_per_record=8, probability=1e-3, n_shards=2,
+                      chunk_slots=64,
+                      tag_columns=("role", "priority", "tool"))
+    rows = [(f"c{i:02d}", 0, "user", f"w{i} shared", i % 3)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "priority int")  # no 'tool' column at all
+    path = str(tmp_path / "jvmidx")
+    BloomIndexWriter(spark, cfg).build(df, path)
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 12
+    got = r.search_verified(["priority=1"], df) \
+        .select("conv_id").toPandas()["conv_id"]
+    assert sorted(got) == ["c01", "c04", "c07", "c10"]
