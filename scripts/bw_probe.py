@@ -1,0 +1,46 @@
+"""Sustained-bandwidth window probe (hunt-c#11 protocol upgrade).
+
+The 0.7 s scatter canary is blind to the host's real failure mode: in
+hunt-c#11 it read healthy (165-224 ms) while the identical 4M-turn build
+ran 4.7x degraded, and a 4 s sustained probe in the same minutes showed
+8 threads moving LESS aggregate bytes than 1 (parallel ratio 0.12-0.23).
+This probe blocks until the sustained 8-thread/1-thread streaming ratio
+reaches a target (a genuinely healthy box shows ~3-6x), or a wait budget
+expires. Each sample is one line of JSON on stderr; exit 0 = window
+found, 1 = budget exhausted.
+
+Usage: python scripts/bw_probe.py [min_ratio] [max_wait_sec] [poll_sec]
+  defaults: 2.5, 1800, 90.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bench import bandwidth_health, canary_ms  # noqa: E402
+
+
+def main() -> int:
+    min_ratio = float(sys.argv[1]) if len(sys.argv) > 1 else 2.5
+    max_wait = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
+    poll = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
+    deadline = time.monotonic() + max_wait
+    while True:
+        sample = {"t": time.strftime("%H:%M:%S"),
+                  "scatter_ms": round(canary_ms(), 1),
+                  **bandwidth_health()}
+        print(json.dumps(sample), file=sys.stderr, flush=True)
+        if sample["parallel_ratio"] >= min_ratio:
+            return 0
+        if time.monotonic() >= deadline:
+            return 1
+        time.sleep(poll)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

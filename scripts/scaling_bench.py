@@ -64,13 +64,73 @@ def canary_ms() -> float:
     return (time.monotonic() - t0) * 1000
 
 
-def wait_healthy(limit_ms: float = 600, tries: int = 30) -> float:
+def sustained_gbps(n_threads: int, seconds: float = 2.0,
+                   mb_per_thread: int = 256) -> float:
+    """AGGREGATE streaming bandwidth under sustained multi-thread demand.
+
+    hunt-c#11 proved the 0.7 s scatter canary blind to the host's real
+    failure mode: it reported healthy (165-224 ms) while the identical
+    4M-turn build ran 4.7x degraded. The collapse binds only under
+    MINUTES of many-core streaming demand — so the health probe must
+    itself be a sustained multi-core stream. Each thread ORs two
+    ~256 MB uint64 arrays in a loop (NumPy releases the GIL, threads
+    stream concurrently); returns GB/s moved across all threads.
+    Healthy host: parallel(8t)/serial(1t) ratio >> 1; collapsed:
+    ratio <= ~1 (r2's measured '32 workers slower than 1' pathology)."""
+    import threading
+    words = mb_per_thread * 131_072  # 8-byte words per buffer
+    bufs = [(np.ones(words, dtype=np.uint64),
+             np.full(words, 3, dtype=np.uint64),
+             np.empty(words, dtype=np.uint64)) for _ in range(n_threads)]
+    stop = time.monotonic() + seconds
+    moved = [0] * n_threads
+
+    def worker(i: int) -> None:
+        a, b, out = bufs[i]
+        while time.monotonic() < stop:
+            np.bitwise_or(a, b, out=out)
+            moved[i] += 3 * words * 8  # 2 reads + 1 write
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return sum(moved) / (time.monotonic() - t0) / 1e9
+
+
+def bandwidth_health() -> dict:
+    """{gbps_1t, gbps_8t, parallel_ratio} — the sustained-demand canary."""
+    g1 = sustained_gbps(1)
+    g8 = sustained_gbps(8)
+    return {"gbps_1t": round(g1, 2), "gbps_8t": round(g8, 2),
+            "parallel_ratio": round(g8 / g1, 2)}
+
+
+def wait_healthy(limit_ms: float = 600, tries: int = 30,
+                 min_parallel_ratio: float = 0.0) -> float:
+    """Block until the host looks healthy. The scatter probe catches the
+    acute collapse (>20 s); pass ``min_parallel_ratio`` (e.g. 2.5) to
+    ALSO require the sustained 8-thread stream to beat 1 thread by that
+    factor — the only probe hunt-c#11 showed correlates with 4M-scale
+    build health."""
     for _ in range(tries):
         ms = canary_ms()
         if ms < limit_ms:
-            return ms
-        print(f"canary {ms:.0f}ms — host degraded, waiting 60s",
-              file=sys.stderr)
+            if min_parallel_ratio <= 0:
+                return ms
+            bw = bandwidth_health()
+            if bw["parallel_ratio"] >= min_parallel_ratio:
+                print(f"sustained canary {bw}", file=sys.stderr)
+                return ms
+            print(f"sustained canary {bw} < ratio "
+                  f"{min_parallel_ratio} — degraded, waiting 60s",
+                  file=sys.stderr)
+        else:
+            print(f"canary {ms:.0f}ms — host degraded, waiting 60s",
+                  file=sys.stderr)
         time.sleep(60)
     return ms
 
