@@ -22,13 +22,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# scaling_bench reads ITS OWN integer CLI at import time — hand it an
+# empty argv and keep ours
+_ARGV, sys.argv = sys.argv[1:], sys.argv[:1]
+
 from scaling_bench import bandwidth_health, canary_ms  # noqa: E402
 
 
 def main() -> int:
-    min_ratio = float(sys.argv[1]) if len(sys.argv) > 1 else 2.5
-    max_wait = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
-    poll = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
+    min_ratio = float(_ARGV[0]) if len(_ARGV) > 0 else 2.5
+    max_wait = float(_ARGV[1]) if len(_ARGV) > 1 else 1800.0
+    poll = float(_ARGV[2]) if len(_ARGV) > 2 else 90.0
     deadline = time.monotonic() + max_wait
     while True:
         sample = {"t": time.strftime("%H:%M:%S"),
