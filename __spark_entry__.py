@@ -626,6 +626,25 @@ def q29_bloom_search_linear(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q35_bloom_search_slab_sql(spark, sf_dir):
+    """The SAME containment search as q13/q29 answered by the THIRD
+    physical strategy: the bit-sliced slab kernel (`FlatBloofi.java:
+    188-205`) evaluated ENTIRELY JVM-side — per slab chunk, the k query
+    bit-rows AND together word-by-word via element_at/aggregate over the
+    array<bigint> slab words, set bits expand to slots and resolve their
+    keys in place from the embedded key blob (query.py:
+    search_keys_slab_sql_many). Slab compute complexity (O(k·N/64) word
+    ANDs) with zero Arrow transfer of slab bytes to Python. Shares q13's
+    oracle: three independent physical paths against one ANSI-SQL
+    truth."""
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = ["lang=es", "tok=spark", "tok=window"]
+    return (r.search_verified(toks, docs, via="slab_sql")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -822,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_remove_exact_search": q32_remove_exact_search,
         "q33_search_verified_many": q33_search_verified_many,
         "q34_novelty_filter": q34_novelty_filter,
+        "q35_bloom_search_slab_sql": q35_bloom_search_slab_sql,
     }
 
 
@@ -1217,6 +1237,15 @@ def oracle_sql() -> dict[str, str]:
         # q29 = q13's semantics via the distributed Linear (I1) strategy
         # -> identical oracle (two physical paths, one ANSI-SQL truth)
         "q29_bloom_search_linear": rf"""
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'es'
+              AND list_contains({_WORDS}, 'spark')
+              AND list_contains({_WORDS}, 'window')
+            ORDER BY doc_id
+        """,
+        # q35 = q13's semantics via the all-JVM bit-sliced slab kernel
+        # -> identical oracle (THREE physical paths, one ANSI-SQL truth)
+        "q35_bloom_search_slab_sql": rf"""
             SELECT doc_id, lang FROM documents
             WHERE lang = 'es'
               AND list_contains({_WORDS}, 'spark')

@@ -113,6 +113,17 @@ def main():
     extra["queries_per_sec_search_linear"] = round(
         len(all_queries) / times["bloom_search_linear"], 2)
 
+    # same batch via the THIRD strategy: the bit-sliced slab kernel
+    # evaluated all-JVM (element_at/aggregate over array<bigint> slab
+    # words) — slab compute complexity, zero Arrow transfer
+    def search_slab_sql_batched():
+        out = reader.search_slab_sql_many(all_queries)
+        return out.groupBy("query").count().count()
+
+    timed("bloom_search_slab_sql", search_slab_sql_batched)
+    extra["queries_per_sec_search_slab_sql"] = round(
+        len(all_queries) / times["bloom_search_slab_sql"], 2)
+
     def search_single():  # per-query job-chain latency, for contrast
         return reader.search(probes[0]).count()
 
@@ -155,7 +166,8 @@ def main():
         pdf = reader.slabs().limit(1).toPandas()
         row = pdf.iloc[0]
         m, k = reader.shape.m, reader.shape.k
-        slab = np.frombuffer(row["slab"], dtype=B.U64).reshape(m, -1)
+        slab = np.ascontiguousarray(
+            row["slab"], dtype=np.int64).view(B.U64).reshape(m, -1)
         n_slots = int(row["n_slots"])
         n_probes = 100_000
         cache_dir = "/tmp/mdbloom_cache"

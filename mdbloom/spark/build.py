@@ -65,8 +65,15 @@ def _filter_schema(df, id_columns) -> str:
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ids = ", ".join(f"`{c}` {types[c]}" for c in id_columns)
     return f"shard int, key string, {ids}, filter array<bigint>"
+# slab stored as array<bigint> (C-order words of the transposed uint64
+# matrix, slab[bit][word] = flat[bit*W + word]) — NOT packed binary — so
+# the bit-sliced containment AND is expressible as a pure Spark SQL
+# element_at/aggregate expression (BloomIndexReader.search_keys_slab_sql_
+# many: the FlatBloofi kernel all-JVM), exactly like the storage table's
+# filter column enables the all-JVM linear scan. NumPy consumers view the
+# same words zero-copyish via np.asarray(...).view(uint64).
 SLAB_SCHEMA = ("shard int, chunk long, slot_lo long, n_slots int, "
-               "slab binary, keys_blob binary, build_ms double")
+               "slab array<bigint>, keys_blob binary, build_ms double")
 MANIFEST_SCHEMA = ("shard int, n_slots long, n_chunks int, summary binary, "
                    "build_ms double")
 
@@ -130,11 +137,13 @@ class IndexConfig:
 
     # on-disk artifact format, bumped on any layout change (r2: embedded
     # keys_blob in slabs, key-carrying tombstones; r2.1: storage filter
-    # stored as array<bigint> words enabling the all-JVM linear scan).
+    # stored as array<bigint> words enabling the all-JVM linear scan;
+    # v5: slab words as array<bigint> enabling the all-JVM bit-sliced
+    # slab scan, search_keys_slab_sql_many).
     # build(resume=True) compares the FULL config.json — a version bump
     # therefore forces a clean rebuild instead of mixing old/new-schema
     # shard files (ADVICE r1: mixed-schema slabs dir after a change).
-    FORMAT_VERSION = 4
+    FORMAT_VERSION = 5
 
     def to_json(self) -> str:
         import json
@@ -415,7 +424,7 @@ class BloomIndexWriter:
                 keys_raw = bytes.fromhex("".join(grp["key"]))
                 row = (shard, (pid << 20) + counter["chunk"],
                        base + counter["slots"], filters.shape[0],
-                       B.to_bytes(slab), keys_raw,
+                       slab.ravel().view(np.int64), keys_raw,
                        (time.monotonic() - t0) * 1000.0)
                 counter["chunk"] += 1
                 counter["slots"] += filters.shape[0]
@@ -469,7 +478,8 @@ class BloomIndexWriter:
             nz = np.zeros(shape.m, dtype=bool)
             n_slots = 0
             for _, row in pdf.iterrows():
-                slab = np.frombuffer(row["slab"], dtype=B.U64).reshape(
+                slab = np.ascontiguousarray(
+                    row["slab"], dtype=np.int64).view(B.U64).reshape(
                     shape.m, -1)
                 nz |= (slab != 0).any(axis=1)
                 n_slots += int(row["n_slots"])

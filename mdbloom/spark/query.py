@@ -85,6 +85,24 @@ def _plan_struct_sql(name: str, pairs: list[tuple[int, int]],
     return "named_struct('q','%s','ps',array(%s),'sh',%s)" % (q, ps, sh)
 
 
+def _plan_struct_sql_bits(name: str, bits: list[int],
+                          shards: list[int] | None = None) -> str:
+    """One slab-SQL query plan as SQL text: named_struct('q', <name>,
+    'bs', [bit...], 'sh', [shard...]) — the bit-position form used by
+    :meth:`BloomIndexReader.search_keys_slab_sql_many` (the slab kernel
+    indexes bit ROWS, not (word, mask) pairs). Escaping and the
+    empty-shard-list convention match :func:`_plan_struct_sql`."""
+    if any(ord(c) < 0x20 for c in name):
+        raise ValueError(
+            f"query name {name!r} contains control characters")
+    q = name.replace("\\", "\\\\").replace("'", "\\'")
+    sh = ("CAST(array() AS array<int>)" if not shards
+          else "array(%s)" % ",".join(str(s) for s in shards))
+    bs = ("CAST(array() AS array<int>)" if not bits
+          else "array(%s)" % ",".join(str(b) for b in bits))
+    return "named_struct('q','%s','bs',%s,'sh',%s)" % (q, bs, sh)
+
+
 def _hex_keys(blob: bytes | None) -> np.ndarray:
     """Every 16-byte content key embedded in a chunk's ``keys_blob`` as a
     numpy array of 32-char hex strings — one vectorized hexlify +
@@ -340,7 +358,8 @@ class BloomIndexReader:
             for pdf in iterator:
                 outs = []
                 for _, row in pdf.iterrows():
-                    slab = np.frombuffer(row["slab"], dtype=B.U64) \
+                    slab = np.ascontiguousarray(
+                        row["slab"], dtype=np.int64).view(B.U64) \
                         .reshape(m, -1)
                     hits = K.query_slab(slab, qb, int(row["n_slots"]))
                     if hits.size:
@@ -432,7 +451,8 @@ class BloomIndexReader:
                     if plan is None:
                         continue
                     names_arr, concat, offs = plan
-                    slab = np.frombuffer(row["slab"], dtype=B.U64) \
+                    slab = np.ascontiguousarray(
+                        row["slab"], dtype=np.int64).view(B.U64) \
                         .reshape(m, -1)
                     q_idx, slots = K.query_slab_batch(
                         slab, concat, offs, int(row["n_slots"]))
@@ -627,13 +647,152 @@ class BloomIndexReader:
         return (df.withColumn("query", F.explode(matched))
                 .select("query", *out_cols))
 
+    # ---------------- slab containment, all-JVM (third strategy) -------
+    @staticmethod
+    def _slab_hits_sql(bs: str, q: str, m: int) -> str:
+        """SQL text for one plan's hits over a slab chunk row: the
+        FlatBloofi word-AND (`FlatBloofi.java:188-205`) as a pure Spark
+        SQL expression. ``bs``/``q`` are accessor texts for the plan's
+        bit array and name (literal-struct field or joined column).
+
+        Shape of the expression, inside out:
+        * ``W = size(slab) div m`` — words per bit row (chunk-local);
+        * words ``ws[j] = AND over query bits b of slab[b*W + j]`` —
+          k element_ats per word, the bit-sliced kernel itself;
+        * ``transform(array(ws), ...)[1]`` — the single-element-array
+          let-binding idiom, so the W-word AND runs ONCE, not once per
+          emitted slot;
+        * set-bit expansion ``j*64 + t`` for every t with bit t of
+          ws[j] set (LSB-first, matching the NumPy kernel's
+          little-endian packbits layout);
+        * each slot resolves its key in place from the embedded
+          ``keys_blob`` (16 bytes at slot*16), exactly like the Arrow
+          scan — ``lower(hex(...))`` matches the lowercase hex keys.
+
+        Rows beyond ``n_slots`` can never emit: build never sets their
+        bits, and a query with no bits never reaches this path
+        (match-all is answered from the slotmap, as in
+        search_keys_many)."""
+        # CAST to int: `div` yields BIGINT, which would poison sequence()
+        # elements and element_at() indices downstream
+        W = f"CAST(size(slab) div {m} AS int)"
+        words = (f"transform(sequence(0, {W} - 1), j -> "
+                 f"aggregate({bs}, -1L, (a, b) -> "
+                 f"a & element_at(slab, b * {W} + j + 1)))")
+        slots = (f"element_at(transform(array({words}), ws -> "
+                 f"flatten(transform(sequence(0, {W} - 1), j -> "
+                 f"transform(filter(sequence(0, 63), t -> "
+                 f"(shiftright(element_at(ws, j + 1), t) & 1) = 1), "
+                 f"t -> j * 64 + t)))), 1)")
+        return (f"transform({slots}, sl -> named_struct("
+                f"'query', {q}, "
+                f"'slot', slot_lo + CAST(sl AS bigint), "
+                f"'key', lower(hex(substring(keys_blob, sl * 16 + 1, "
+                f"16)))))")
+
+    def search_keys_slab_sql_many(self, queries: dict) -> DataFrame:
+        """Batched containment search over the SLAB artifacts with the
+        entire bit-sliced kernel evaluated JVM-side — the third physical
+        strategy for the same semantics (slab/NumPy `search_keys_many`,
+        linear `search_linear_many`), bit-identical output (query, shard,
+        slot, key) including which Bloom false positives leak through.
+
+        Why it exists (scale story): the NumPy slab kernel is aggregate-
+        memory-bandwidth-bound (BENCH.md: parallel-DRAM ceiling 0.45-0.48
+        on this host class), while the linear JVM scan pays O(rows·k)
+        work. This path keeps the slab's O(k·N/64) word-AND complexity —
+        64× less compute than linear — AND stays on the JVM (no Arrow
+        transfer of slab bytes to Python at all), so it inherits the
+        codegen path's measured 0.67-0.90 scaling. Per-query driver-side
+        gate pruning is identical to the other strategies: each plan
+        carries its shard set and the scan is restricted to the union.
+
+        Physical form mirrors :meth:`search_linear_many`: plans ride as
+        ONE SQL-text literal parsed JVM-side (py4j-free), falling back to
+        a plans-as-data broadcast join above ``SQL_LITERAL_MAX_PREDS``
+        total query bits."""
+        if self._jvm_hasher is not None:
+            self._jvm_hasher._ensure(
+                {t for toks in queries.values() for t in toks})
+        m = self.shape.m
+        n_shards_total = len(self._prune_matrices()[0])
+        plans: list[tuple[str, list[int], list[int]]] = []
+        match_all: list[str] = []
+        all_shards: set[int] = set()
+        for name, toks in queries.items():
+            qbits = self.query_bits(toks)
+            if qbits.size == 0:
+                match_all.append(name)
+                continue
+            shards = self.prune_shards(qbits, toks)
+            if not shards:
+                continue  # pruned to zero shards: definite miss
+            sh = [] if len(shards) == n_shards_total else list(shards)
+            plans.append((name, [int(b) for b in qbits], sh))
+            all_shards.update(shards)
+        slotmap = self.slotmap()
+        empty = (slotmap.where(F.lit(False))
+                 .withColumn("query", F.lit(""))
+                 .select("query", "shard", "slot", "key"))
+        all_part = empty
+        for name in match_all:
+            all_part = all_part.unionByName(
+                slotmap.withColumn("query", F.lit(name))
+                .select("query", "shard", "slot", "key"))
+        if not plans:
+            return all_part
+        slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
+        n_bits = sum(len(bs) for _, bs, _ in plans)
+        if n_bits > SQL_LITERAL_MAX_PREDS:
+            # plans-as-data broadcast join: O(1) plan size at any Q
+            qdf = self.spark.createDataFrame(
+                plans, "query string, bs array<int>, sh array<int>")
+            cond = ((F.size(F.col("sh")) == 0)
+                    | F.array_contains(F.col("sh"), F.col("shard")))
+            hits = self._slab_hits_sql("bs", "query", m)
+            joined = (slabs.join(F.broadcast(qdf), cond)
+                      .selectExpr("shard", f"inline({hits})"))
+        else:
+            structs = ",".join(
+                _plan_struct_sql_bits(name, bs, sh)
+                for name, bs, sh in plans)
+            hits = self._slab_hits_sql("s.bs", "s.q", m)
+            expr = (f"inline(flatten(transform(filter(array({structs}), "
+                    f"s -> size(s.sh) = 0 or array_contains(s.sh, shard)), "
+                    f"s -> {hits})))")
+            joined = slabs.selectExpr("shard", expr)
+        out = joined.select("query", "shard", "slot", "key")
+        return out.unionByName(all_part) if match_all else out
+
+    def search_slab_sql_many(self, queries: dict) -> DataFrame:
+        """Batched all-JVM slab search -> storage rows tagged by query
+        (the :meth:`search_many` contract on the
+        :meth:`search_keys_slab_sql_many` strategy)."""
+        keys = (self.search_keys_slab_sql_many(queries)
+                .select("query", "shard", "key")
+                # same cross-buffer duplicate-slot dedup as search_many
+                .dropDuplicates(["query", "shard", "key"]))
+        return self.storage().join(keys.hint("shuffle_hash"),
+                                   ["shard", "key"], "inner")
+
+    def search_slab_sql(self, tokens) -> DataFrame:
+        """Single-query form: storage rows whose filter contains the query
+        bits, evaluated by the all-JVM slab kernel. Same rows as
+        :meth:`search` / :meth:`search_linear`."""
+        keys = (self.search_keys_slab_sql_many({"q": list(tokens)})
+                .select("shard", "key"))
+        return self.storage().join(keys, ["shard", "key"], "left_semi")
+
     def search_rows(self, tokens, source_df: DataFrame,
                     via: str = "slab") -> DataFrame:
         """Search and join back to the original table on the id columns.
-        ``via``: "slab" (bit-sliced index scan) or "linear" (all-JVM
-        storage scan, :meth:`search_linear`) — identical results."""
+        ``via``: "slab" (bit-sliced index scan, NumPy kernel), "linear"
+        (all-JVM storage scan, :meth:`search_linear`) or "slab_sql"
+        (bit-sliced index scan, all-JVM, :meth:`search_slab_sql`) —
+        identical results."""
         id_cols = list(self.cfg.id_columns)
         hits = (self.search_linear(tokens) if via == "linear"
+                else self.search_slab_sql(tokens) if via == "slab_sql"
                 else self.search(tokens))
         hits = hits.select(*id_cols).dropDuplicates(id_cols)
         return source_df.join(hits, id_cols, "left_semi")
@@ -677,7 +836,8 @@ class BloomIndexReader:
         cfg = self.cfg
         id_cols = list(cfg.id_columns)
         hits = (self.search_linear_many(queries) if via == "linear"
-                else self.search_many(queries))
+                else self.search_slab_sql_many(queries)
+                if via == "slab_sql" else self.search_many(queries))
         hits = hits.select("query", *id_cols).dropDuplicates(
             ["query", *id_cols])
         cand = source_df.join(hits, id_cols, "inner")

@@ -10,7 +10,14 @@ expires. Each sample is one line of JSON on stderr; exit 0 = window
 found, 1 = budget exhausted.
 
 Usage: python scripts/bw_probe.py [min_ratio] [max_wait_sec] [poll_sec]
-  defaults: 2.5, 1800, 90.
+                                  [min_gbps8]
+  defaults: 2.5, 1800, 90, 10.0.
+
+``min_gbps8`` is an ABSOLUTE floor on the 8-thread aggregate (GB/s):
+hunt-c#12 showed the ratio alone can false-positive when single-thread
+bandwidth collapses harder than 8-thread (0.21 vs 0.81 GB/s -> ratio 3.8
+on a badly degraded host). A healthy box streams tens of GB/s across 8
+threads.
 """
 
 from __future__ import annotations
@@ -33,13 +40,15 @@ def main() -> int:
     min_ratio = float(_ARGV[0]) if len(_ARGV) > 0 else 2.5
     max_wait = float(_ARGV[1]) if len(_ARGV) > 1 else 1800.0
     poll = float(_ARGV[2]) if len(_ARGV) > 2 else 90.0
+    min_gbps8 = float(_ARGV[3]) if len(_ARGV) > 3 else 10.0
     deadline = time.monotonic() + max_wait
     while True:
         sample = {"t": time.strftime("%H:%M:%S"),
                   "scatter_ms": round(canary_ms(), 1),
                   **bandwidth_health()}
         print(json.dumps(sample), file=sys.stderr, flush=True)
-        if sample["parallel_ratio"] >= min_ratio:
+        if (sample["parallel_ratio"] >= min_ratio
+                and sample["gbps_8t"] >= min_gbps8):
             return 0
         if time.monotonic() >= deadline:
             return 1

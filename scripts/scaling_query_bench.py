@@ -86,19 +86,23 @@ queries = mk_queries(n_queries)
 # warm-up: JIT, python workers, parquet footers (real executors are warm)
 reader.search_many(mk_queries(8)).count()
 reader.search_linear_many(mk_queries(8)).count()
-slab, linear, hits = [], [], set()
+reader.search_slab_sql_many(mk_queries(8)).count()
+slab, linear, slabsql, hits = [], [], [], set()
 for _ in range(reps):
     t0 = time.monotonic(); h1 = reader.search_many(queries).count()
     slab.append(time.monotonic() - t0)
     t0 = time.monotonic(); h2 = reader.search_linear_many(queries).count()
     linear.append(time.monotonic() - t0)
-    hits.update((h1, h2))
+    t0 = time.monotonic(); h3 = reader.search_slab_sql_many(queries).count()
+    slabsql.append(time.monotonic() - t0)
+    hits.update((h1, h2, h3))
 assert len(hits) == 1, hits
 print("RESULT " + json.dumps({
     "cores": cores, "hits": hits.pop(), "slab_sec": slab,
-    "linear_sec": linear,
+    "linear_sec": linear, "slabsql_sec": slabsql,
     "best_slab_qps": n_queries / min(slab),
-    "best_linear_qps": n_queries / min(linear)}))
+    "best_linear_qps": n_queries / min(linear),
+    "best_slabsql_qps": n_queries / min(slabsql)}))
 """
 
 
@@ -134,11 +138,14 @@ def main():
     eff_slab = (hi["best_slab_qps"] / lo["best_slab_qps"]) / (N_HIGH / N_LOW)
     eff_linear = (hi["best_linear_qps"] / lo["best_linear_qps"]) \
         / (N_HIGH / N_LOW)
+    eff_slabsql = (hi["best_slabsql_qps"] / lo["best_slabsql_qps"]) \
+        / (N_HIGH / N_LOW)
     report = {
         "n_turns": N_TURNS, "n_queries": N_QUERIES, "reps": N_REPS,
         "low": lo, "high": hi, "canaries_ms": canaries,
         "scaling_efficiency_query_slab": round(eff_slab, 3),
         "scaling_efficiency_query_linear": round(eff_linear, 3),
+        "scaling_efficiency_query_slab_sql": round(eff_slabsql, 3),
     }
     print(json.dumps(report, indent=2))
     table = f"""
@@ -151,13 +158,14 @@ real-cluster query shape: warm dedicated executors, no build-phase heap
 pressure. Canaries {canaries} ms. Identical hit counts at every
 level/rep ({lo["hits"]}).
 
-| parallelism | slab best sec | slab q/s | linear (JVM) best sec | linear q/s |
-|---|---|---|---|---|
-| local[{N_LOW}] | {min(lo["slab_sec"]):.1f} | {lo["best_slab_qps"]:.2f} | {min(lo["linear_sec"]):.1f} | {lo["best_linear_qps"]:.2f} |
-| local[{N_HIGH}] | {min(hi["slab_sec"]):.1f} | {hi["best_slab_qps"]:.2f} | {min(hi["linear_sec"]):.1f} | {hi["best_linear_qps"]:.2f} |
+| parallelism | slab best sec | slab q/s | linear (JVM) best sec | linear q/s | slab-SQL (JVM) best sec | slab-SQL q/s |
+|---|---|---|---|---|---|---|
+| local[{N_LOW}] | {min(lo["slab_sec"]):.1f} | {lo["best_slab_qps"]:.2f} | {min(lo["linear_sec"]):.1f} | {lo["best_linear_qps"]:.2f} | {min(lo["slabsql_sec"]):.1f} | {lo["best_slabsql_qps"]:.2f} |
+| local[{N_HIGH}] | {min(hi["slab_sec"]):.1f} | {hi["best_slab_qps"]:.2f} | {min(hi["linear_sec"]):.1f} | {hi["best_linear_qps"]:.2f} | {min(hi["slabsql_sec"]):.1f} | {hi["best_slabsql_qps"]:.2f} |
 
 Scaling efficiency (throughput ratio / core ratio): **slab
-{eff_slab:.2f}**, **linear (all-JVM) {eff_linear:.2f}**
+{eff_slab:.2f}**, **linear (all-JVM) {eff_linear:.2f}**,
+**slab-SQL (all-JVM bit-sliced) {eff_slabsql:.2f}**
 (north-rule target >= 0.8).
 """
     if os.environ.get("SCALING_NO_APPEND"):

@@ -91,6 +91,57 @@ def test_search_linear_many_bnlj_form_matches_sql_literal(
         == set(map(tuple, bnlj[cols].itertuples(index=False)))
 
 
+def test_search_slab_sql_many_matches_search_many(spark, reader):
+    """The all-JVM bit-sliced slab pass (search_keys_slab_sql_many: the
+    FlatBloofi word-AND as pure SQL over the array<bigint> slab words)
+    must return exactly the same (query, row) set as the Arrow/NumPy
+    slab scan AND the linear scan — three physical strategies, one
+    semantics."""
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "c": reader.transcript_query_tokens("user", None, ["w00000",
+                                                           "w00002"]),
+        "absent": ["tok=zzznope"],
+        "every": [],
+    }
+    # keys-level identity (query, shard, slot, key) — stricter than
+    # row-level: the two slab strategies read the same artifact, so even
+    # slot numbering and Bloom false positives must agree bit-for-bit
+    a = set(map(tuple, reader.search_keys_many(queries).toPandas()
+                .itertuples(index=False)))
+    b = set(map(tuple, reader.search_keys_slab_sql_many(queries)
+                .toPandas().itertuples(index=False)))
+    assert a == b
+    cols = ["query", "conv_id", "turn_idx"]
+    rows = reader.search_slab_sql_many(queries).toPandas()
+    slab = reader.search_many(queries).toPandas()
+    assert set(map(tuple, rows[cols].itertuples(index=False))) \
+        == set(map(tuple, slab[cols].itertuples(index=False)))
+    assert (rows["query"] == "absent").sum() == 0
+    assert (rows["query"] == "every").sum() == reader.value_count()
+
+
+def test_search_slab_sql_many_bnlj_form_matches_sql_literal(
+        spark, reader, monkeypatch):
+    """Literal and plans-as-data broadcast forms of the all-JVM slab scan
+    must be interchangeable (mirrors the linear-path form test)."""
+    from mdbloom.spark import query as Q
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "o'brien\\q": reader.transcript_query_tokens(None, "Bash",
+                                                     ["w00005"]),
+        "every": [],
+    }
+    lit = set(map(tuple, reader.search_keys_slab_sql_many(queries)
+                  .toPandas().itertuples(index=False)))
+    monkeypatch.setattr(Q, "SQL_LITERAL_MAX_PREDS", 0)
+    bnlj = set(map(tuple, reader.search_keys_slab_sql_many(queries)
+                   .toPandas().itertuples(index=False)))
+    assert lit == bnlj
+    assert {q for q, *_ in lit} == set(queries)
+
+
 def test_sql_bigint_min_long_and_quote_escape():
     from mdbloom.spark.query import _plan_struct_sql, _sql_bigint
     assert _sql_bigint(-(2 ** 63)) == "(-9223372036854775807L - 1L)"
@@ -184,7 +235,7 @@ def test_search_verified_many_matches_individual(spark, reader):
                                             ["w00000", "w00002"]),
         "absent": ["tok=zzznope"],
     }
-    for via in ("slab", "linear"):
+    for via in ("slab", "linear", "slab_sql"):
         batched = reader.search_verified_many(queries, df, via=via) \
             .toPandas()
         assert set(batched.columns) == {"query"} | set(df.columns)
@@ -226,7 +277,7 @@ def test_search_verified_many_conjunctive_repeated_tags(spark, reader):
         "two_roles": ["role=user", "role=assistant", "tok=w00001"],
         "dup_same": ["role=assistant", "role=assistant", "tok=w00001"],
     }
-    for via in ("slab", "linear"):
+    for via in ("slab", "linear", "slab_sql"):
         batched = reader.search_verified_many(queries, df, via=via) \
             .toPandas()
         assert (batched["query"] == "two_roles").sum() == 0, via

@@ -148,10 +148,17 @@ def test_search_linear_equals_slab_search(spark, built_index):
                     .select("conv_id", "turn_idx")
                     .toPandas().itertuples(index=False)))
         assert a == b, toks
-    plan = r.search_linear(cases[0])._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "InPandas" not in plan and "ArrowEval" not in plan
-    assert "BatchEvalPython" not in plan
+        # third strategy: the bit-sliced slab kernel evaluated all-JVM
+        # (search_slab_sql) — same rows again
+        c = set(map(tuple, r.search_slab_sql(toks)
+                    .select("conv_id", "turn_idx")
+                    .toPandas().itertuples(index=False)))
+        assert a == c, toks
+    for probe in (r.search_linear(cases[0]),
+                  r.search_slab_sql(cases[0])):
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "ArrowEval" not in plan
+        assert "BatchEvalPython" not in plan
 
 
 def test_empty_query_matches_everything(spark, built_index):
