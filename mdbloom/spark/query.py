@@ -679,11 +679,17 @@ class BloomIndexReader:
         words = (f"transform(sequence(0, {W} - 1), j -> "
                  f"aggregate({bs}, -1L, (a, b) -> "
                  f"a & element_at(slab, b * {W} + j + 1)))")
+        # zero-word guard: most (plan, chunk) pairs miss, and without the
+        # if() the expansion would run 64 bit-test lambdas per word even
+        # when the AND already produced 0 — measured ~2x the whole
+        # strategy's constant at 4M x 256 queries (BENCH.md)
         slots = (f"element_at(transform(array({words}), ws -> "
                  f"flatten(transform(sequence(0, {W} - 1), j -> "
+                 f"if(element_at(ws, j + 1) = 0, "
+                 f"CAST(array() AS array<int>), "
                  f"transform(filter(sequence(0, 63), t -> "
                  f"(shiftright(element_at(ws, j + 1), t) & 1) = 1), "
-                 f"t -> j * 64 + t)))), 1)")
+                 f"t -> j * 64 + t))))), 1)")
         return (f"transform({slots}, sl -> named_struct("
                 f"'query', {q}, "
                 f"'slot', slot_lo + CAST(sl AS bigint), "
