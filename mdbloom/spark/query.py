@@ -56,6 +56,30 @@ def _sql_bigint(v: int) -> str:
     return "(-9223372036854775807L - 1L)" if v == -(2 ** 63) else f"{v}L"
 
 
+def _escaped_name(name: str) -> str:
+    """Query name -> SQL string-literal body, shared by EVERY literal
+    plan builder so the strategies' escaping can never desynchronize.
+
+    Spark SQL string literals process C-style escapes by default
+    (spark.sql.parser.escapedStringLiterals=false), so a backslash in a
+    query name would be escape-interpreted ('win\\path' -> 'winpath') —
+    escape backslashes FIRST, then quotes; reject control characters
+    the literal form cannot carry (the broadcast-join forms keep names
+    verbatim, and the forms must stay bit-identical)."""
+    if any(ord(c) < 0x20 for c in name):
+        raise ValueError(
+            f"query name {name!r} contains control characters")
+    return name.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _sql_int_array(xs) -> str:
+    """array<int> literal; empty needs the cast (array() types as
+    array<null>)."""
+    xs = list(xs)
+    return ("CAST(array() AS array<int>)" if not xs
+            else "array(%s)" % ",".join(str(x) for x in xs))
+
+
 def _plan_struct_sql(name: str, pairs: list[tuple[int, int]],
                      shards: list[int] | None = None) -> str:
     """One query plan as SQL text: named_struct('q', <name>, 'ps',
@@ -64,18 +88,8 @@ def _plan_struct_sql(name: str, pairs: list[tuple[int, int]],
     as array<null>. An empty/None shard list means "no restriction"
     (the query kept every shard), keeping the literal tiny in the
     common all-shards-survive case."""
-    # Spark SQL string literals process C-style escapes by default
-    # (spark.sql.parser.escapedStringLiterals=false), so a backslash in a
-    # query name would be escape-interpreted ('win\path' -> 'winpath') —
-    # escape backslashes FIRST, then quotes; reject control characters
-    # the literal form cannot carry (the broadcast-join form keeps names
-    # verbatim, and the two forms must stay bit-identical)
-    if any(ord(c) < 0x20 for c in name):
-        raise ValueError(
-            f"query name {name!r} contains control characters")
-    q = name.replace("\\", "\\\\").replace("'", "\\'")
-    sh = ("CAST(array() AS array<int>)" if not shards
-          else "array(%s)" % ",".join(str(s) for s in shards))
+    q = _escaped_name(name)
+    sh = _sql_int_array(shards or [])
     if not pairs:
         return ("named_struct('q','%s','ps',"
                 "CAST(array() AS array<struct<i:int,v:bigint>>),"
@@ -91,16 +105,11 @@ def _plan_struct_sql_bits(name: str, bits: list[int],
     'bs', [bit...], 'sh', [shard...]) — the bit-position form used by
     :meth:`BloomIndexReader.search_keys_slab_sql_many` (the slab kernel
     indexes bit ROWS, not (word, mask) pairs). Escaping and the
-    empty-shard-list convention match :func:`_plan_struct_sql`."""
-    if any(ord(c) < 0x20 for c in name):
-        raise ValueError(
-            f"query name {name!r} contains control characters")
-    q = name.replace("\\", "\\\\").replace("'", "\\'")
-    sh = ("CAST(array() AS array<int>)" if not shards
-          else "array(%s)" % ",".join(str(s) for s in shards))
-    bs = ("CAST(array() AS array<int>)" if not bits
-          else "array(%s)" % ",".join(str(b) for b in bits))
-    return "named_struct('q','%s','bs',%s,'sh',%s)" % (q, bs, sh)
+    empty-shard-list convention are shared with :func:`_plan_struct_sql`
+    via :func:`_escaped_name` / :func:`_sql_int_array`."""
+    return "named_struct('q','%s','bs',%s,'sh',%s)" % (
+        _escaped_name(name), _sql_int_array(bits),
+        _sql_int_array(shards or []))
 
 
 def _hex_keys(blob: bytes | None) -> np.ndarray:
@@ -383,6 +392,29 @@ class BloomIndexReader:
         # so there is no fallback path.
         return slabs.mapInPandas(scan, schema=HIT_SCHEMA + ", key string")
 
+    def _plan_query_batch(self, queries: dict):
+        """Shared batched-query planning for EVERY batched strategy
+        (NumPy slab, linear, slab-SQL): hash all tokens in ONE job, then
+        per query yield ``(name, qbits, shards)`` where ``qbits.size == 0``
+        marks match-all (empty query, `ContainerImpl.java:159-169`) and
+        ``shards is None`` marks pruned-to-zero (definite miss). One
+        definition keeps the three strategies' planning — and therefore
+        their bit-identity contract — impossible to desynchronize."""
+        if self._jvm_hasher is not None:
+            # ONE tiny hash job for every token of every query — per-query
+            # planning jobs would dominate batched-search latency
+            self._jvm_hasher._ensure(
+                {t for toks in queries.values() for t in toks})
+        out = []
+        for name, toks in queries.items():
+            qbits = self.query_bits(toks)
+            if qbits.size == 0:
+                out.append((name, qbits, []))
+                continue
+            shards = self.prune_shards(qbits, toks)
+            out.append((name, qbits, list(shards) if shards else None))
+        return out
+
     def search_keys_many(self, queries: dict) -> DataFrame:
         """Batched containment search: ``{name: [tokens...]}`` -> one slab
         scan emitting (query, shard, slot, key) for every query at once.
@@ -391,21 +423,14 @@ class BloomIndexReader:
         share one Spark job (one slab read, one slotmap join) instead of Q
         job chains — per-query latency amortizes to ~zero. Per-query shard
         pruning still applies inside the scan via a broadcast plan."""
-        if self._jvm_hasher is not None:
-            # ONE tiny hash job for every token of every query — per-query
-            # planning jobs would dominate batched-search latency
-            self._jvm_hasher._ensure(
-                {t for toks in queries.values() for t in toks})
         plans = {}
         match_all: list[str] = []
         all_shards: set[int] = set()
-        for name, toks in queries.items():
-            qbits = self.query_bits(toks)
+        for name, qbits, shards in self._plan_query_batch(queries):
             if qbits.size == 0:
                 match_all.append(name)  # empty query matches everything
                 continue
-            shards = self.prune_shards(qbits, toks)
-            if not shards:
+            if shards is None:
                 continue  # pruned to zero shards: definite miss
             plans[name] = (qbits.tolist(), set(shards))
             all_shards.update(shards)
@@ -590,22 +615,17 @@ class BloomIndexReader:
         so the common case adds ~nothing to the literal. Empty queries
         match everything (`ContainerImpl.java:159-169`): an empty pair
         list makes ``forall`` vacuously true."""
-        if self._jvm_hasher is not None:
-            self._jvm_hasher._ensure(
-                {t for toks in queries.values() for t in toks})
         m = self.shape.m
         n_shards_total = len(self._prune_matrices()[0])
         plans: list[tuple[str, list[tuple[int, int]], list[int]]] = []
         all_shards: set[int] = set()
         any_match_all = False
-        for name, toks in queries.items():
-            qbits = self.query_bits(toks)
+        for name, qbits, shards in self._plan_query_batch(queries):
             if qbits.size == 0:
                 plans.append((name, [], []))  # matches every row
                 any_match_all = True
                 continue
-            shards = self.prune_shards(qbits, toks)
-            if not shards:
+            if shards is None:
                 continue  # pruned to zero shards: definite miss
             qwords = B.from_bits(qbits, m).view(np.int64)
             pairs = [(int(w) + 1, int(qwords[w]))
@@ -717,21 +737,16 @@ class BloomIndexReader:
         ONE SQL-text literal parsed JVM-side (py4j-free), falling back to
         a plans-as-data broadcast join above ``SQL_LITERAL_MAX_PREDS``
         total query bits."""
-        if self._jvm_hasher is not None:
-            self._jvm_hasher._ensure(
-                {t for toks in queries.values() for t in toks})
         m = self.shape.m
         n_shards_total = len(self._prune_matrices()[0])
         plans: list[tuple[str, list[int], list[int]]] = []
         match_all: list[str] = []
         all_shards: set[int] = set()
-        for name, toks in queries.items():
-            qbits = self.query_bits(toks)
+        for name, qbits, shards in self._plan_query_batch(queries):
             if qbits.size == 0:
                 match_all.append(name)
                 continue
-            shards = self.prune_shards(qbits, toks)
-            if not shards:
+            if shards is None:
                 continue  # pruned to zero shards: definite miss
             sh = [] if len(shards) == n_shards_total else list(shards)
             plans.append((name, [int(b) for b in qbits], sh))

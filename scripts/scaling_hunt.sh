@@ -13,9 +13,17 @@ for i in $(seq 1 "$ATTEMPTS"); do
   echo "=== scaling hunt attempt $i/$ATTEMPTS $(date -u +%H:%M:%S)" >&2
   # precondition (hunt-c#11): don't burn a 25-min bench on a window whose
   # SUSTAINED 8-thread stream can't even beat 1 thread — wait (up to the
-  # poll budget) for parallel_ratio >= MIN_RATIO, then launch immediately
-  python scripts/bw_probe.py "${MIN_RATIO:-2.5}" "${PROBE_WAIT:-900}" 60 \
-    || echo "attempt $i: no healthy sustained-bandwidth window in probe budget; running anyway for the log" >&2
+  # poll budget) for parallel_ratio >= MIN_RATIO AND an absolute
+  # MIN_GBPS8 floor, then launch immediately. A failed probe SKIPS the
+  # attempt (set RUN_ANYWAY=1 to force a for-the-log run instead).
+  if ! python scripts/bw_probe.py "${MIN_RATIO:-2.5}" "${PROBE_WAIT:-900}" \
+        60 "${MIN_GBPS8:-10}"; then
+    if [ "${RUN_ANYWAY:-0}" != "1" ]; then
+      echo "attempt $i: no healthy sustained-bandwidth window in probe budget; skipping" >&2
+      continue
+    fi
+    echo "attempt $i: degraded window, RUN_ANYWAY=1 -> running for the log" >&2
+  fi
   # deterministic input is reused across attempts (synthesized once)
   python scripts/scaling_bench.py "$TURNS" 8 256 1 > /tmp/scaling_hunt_$i.json 2>/tmp/scaling_hunt_$i.err
   b8=$(python - "$i" <<'EOF'

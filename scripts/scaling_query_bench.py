@@ -122,9 +122,27 @@ def run(script: str, cores: int, args: list[str]) -> str:
     raise RuntimeError(f"worker at local[{cores}] produced no RESULT")
 
 
+def _cached_index_current() -> bool:
+    """True only if the cached index's config.json matches the CURRENT
+    config byte-for-byte (same compare build(resume=True) makes) — an
+    existence-only check once aborted a whole bench on a pre-v5 leftover
+    (reader rejects the old format after 30 min of healthy-window
+    polling)."""
+    cfg_path = os.path.join(IDX, "config.json")
+    if not os.path.exists(cfg_path):
+        return False
+    from mdbloom.spark.build import IndexConfig
+    want = IndexConfig(n_per_record=40, probability=1e-3, n_shards=256,
+                       chunk_slots=65536).to_json()
+    with open(cfg_path) as f:
+        return f.read() == want
+
+
 def main():
     canaries = [round(wait_healthy(), 1)]
-    if not os.path.exists(os.path.join(IDX, "config.json")):
+    if not _cached_index_current():
+        import shutil
+        shutil.rmtree(IDX, ignore_errors=True)
         print(f"building shared index at {IDX}", file=sys.stderr)
         run(BUILD, N_HIGH, [IDX, SRC, str(N_TURNS), str(N_HIGH)])
     results = {}
