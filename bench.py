@@ -22,6 +22,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Fault-path mitigation (BENCH.md "Fault-path mitigation"): this sandbox
+# backs FRESH pages at ~0.2-2 GB/s thread-independent while warm pages
+# stream at ~75 GB/s, so pre-touch the JVM heap once at (untimed) startup
+# and keep NumPy/Arrow buffers in reusable arenas across tasks. Must be in
+# os.environ BEFORE the JVM is launched (workers inherit from the JVM).
+# A/B at 1M turns: batched slab queries ~1.4x faster treated. Opt out with
+# MDBLOOM_BENCH_PRETOUCH=0.
+if os.environ.get("MDBLOOM_BENCH_PRETOUCH", "1") == "1":
+    os.environ.setdefault("MDBLOOM_JVM_PRETOUCH", "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "17179869184")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "17179869184")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 

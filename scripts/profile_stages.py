@@ -27,10 +27,14 @@ cores = int(sys.argv[1]); n_turns = int(sys.argv[2])
 spark = get_spark(f"prof{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores)
 idx = f"/tmp/mdbloom_prof_{cores}"
-src = "/tmp/mdbloom_prof_src"
+# keyed by size: a cached corpus from a different-n run must
+# never be silently reused (same rule as scaling_bench)
+src = f"/tmp/mdbloom_prof_src_{n_turns}"
 shutil.rmtree(idx, ignore_errors=True)
 os.makedirs(idx, exist_ok=True)
-cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=64,
+# 256 shards: match the scaling_bench protocol layout so stage timings
+# attribute the same end-to-end build the N-vs-4N pairs measure
+cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=256,
                   chunk_slots=65536)
 if not os.path.exists(src + "/_SUCCESS"):
     synthesize_transcripts(spark, n_turns, seed=42, n_partitions=128) \
@@ -70,6 +74,20 @@ print("RESULT " + json.dumps({"cores": cores, "stages": stages}))
 """
 
 
+def treatment_env() -> dict:
+    """Fault-path mitigation env (same as scaling_bench.run): pre-touched
+    JVM heap + reusable malloc/Arrow arenas, see BENCH.md."""
+    env = dict(os.environ)
+    if os.environ.get("MDBLOOM_SCALE_PRETOUCH", "1") == "1":
+        env.update({
+            "MDBLOOM_JVM_PRETOUCH": "1",
+            "MALLOC_MMAP_THRESHOLD_": "17179869184",
+            "MALLOC_TRIM_THRESHOLD_": "17179869184",
+            "ARROW_DEFAULT_MEMORY_POOL": "system",
+        })
+    return env
+
+
 def run(cores: int) -> dict:
     # pin the whole session (JVM + python workers) to exactly `cores` CPUs:
     # without affinity, a local[8] JVM plus its 8 python workers can use up
@@ -77,7 +95,7 @@ def run(cores: int) -> dict:
     # the N-vs-4N comparison
     out = subprocess.run(["taskset", "-c", f"0-{cores - 1}", sys.executable,
                           "-c", WORKER, str(cores), str(N_TURNS)],
-                         capture_output=True, text=True,
+                         capture_output=True, text=True, env=treatment_env(),
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     for line in out.stdout.splitlines():

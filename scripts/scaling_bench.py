@@ -238,10 +238,25 @@ print("RESULT " + json.dumps({
 
 
 def run(cores: int) -> dict:
+    env = dict(os.environ)
+    if os.environ.get("MDBLOOM_SCALE_PRETOUCH", "1") == "1":
+        # Long-lived-executor posture (see session.py MDBLOOM_JVM_PRETOUCH):
+        # this host backs FRESH pages at ~0.2-2 GB/s thread-independent
+        # while warm pages stream at ~75 GB/s, so (a) pre-touch the whole
+        # JVM heap at startup, (b) keep glibc from returning NumPy's slab
+        # buffers to the OS between tasks (re-mmap re-faults every page),
+        # (c) route Arrow through the same reusable arena. A/B at 1M@8:
+        # batched slab query 3.2-3.4 s treated vs 4.6-4.7 s untreated.
+        env.update({
+            "MDBLOOM_JVM_PRETOUCH": "1",
+            "MALLOC_MMAP_THRESHOLD_": "17179869184",
+            "MALLOC_TRIM_THRESHOLD_": "17179869184",
+            "ARROW_DEFAULT_MEMORY_POOL": "system",
+        })
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", WORKER,
          str(cores), str(N_TURNS), str(N_QUERIES)],
-        capture_output=True, text=True, cwd=os.path.dirname(
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -132,13 +132,13 @@ def main():
                                    N_HIGH: round(sc_hi, 1)}
 
     # (d) engine build stages at both levels (reuses profile_stages)
-    from scripts.profile_stages import WORKER
+    from scripts.profile_stages import WORKER, treatment_env
     stages = {}
     for cores in (N_LOW, N_HIGH):
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
              WORKER, str(cores), str(N_TURNS)],
-            capture_output=True, text=True, cwd=REPO)
+            capture_output=True, text=True, env=treatment_env(), cwd=REPO)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 stages[cores] = json.loads(line[len("RESULT "):])["stages"]
