@@ -54,3 +54,18 @@ def get_spark(app: str = "mdbloom", master: str | None = None,
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def rebalance_input(df, min_parts: int | None = None):
+    """Guard against under-parallel scans. A small input that arrives as a
+    single file/row group cannot be split by the scan, so every downstream
+    narrow stage (explode, tokenize, signature build) serializes on ONE
+    core no matter how many the session has. Rebalance ONLY when the scan
+    yields fewer partitions than the session's parallelism — at production
+    scale inputs carry orders of magnitude more splits than cores, the
+    branch is not taken, and no exchange enters the plan. Catalyst still
+    pushes filters/pruning through the inserted Repartition."""
+    min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df

@@ -120,6 +120,8 @@ def shingles_df(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document — built-ins only:
     transform over an index sequence + concat_ws, then explode."""
+    from mdbloom.spark.session import rebalance_input
+    df = rebalance_input(df)
     w = words_col(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(w) - F.lit(n)),
@@ -236,7 +238,8 @@ def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 3,
             out_sigs.extend(row.tolist() for row in sig64)
             yield pd.DataFrame({id_col: out_ids, "sig": out_sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from mdbloom.spark.session import rebalance_input
+    return rebalance_input(df.select(id_col, text_col)).mapInPandas(
         sig_batches, schema=f"{id_col} long, sig array<long>")
 
 
@@ -252,8 +255,15 @@ def minhash_signatures_sql(df: DataFrame, num_perm: int = 64, n: int = 3,
     north-star-literal alternative; both are valid MinHash families,
     their permutations just differ)."""
     sh = shingles_df(df, n, id_col, text_col)
-    mins = sh.groupBy(id_col).agg(*[
-        F.min(F.xxhash64("shingle", F.lit(i + 1))).alias(f"_m{i}")
+    # Hash the (variable-length) shingle string ONCE, then derive the
+    # num_perm streams by re-hashing the resulting fixed 8-byte long with
+    # per-stream seeds: xxhash64(long, i) is a handful of multiplies vs
+    # num_perm full passes over the string bytes, and (being a bijection
+    # per seed composed with a shared base hash) it is the same MinHash
+    # family shape — recall/precision behavior is unchanged.
+    base = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
+    mins = base.groupBy(id_col).agg(*[
+        F.min(F.xxhash64("_h", F.lit(i + 1))).alias(f"_m{i}")
         for i in range(num_perm)])
     return mins.select(
         F.col(id_col),
@@ -277,17 +287,20 @@ def minhash_near_dups(df: DataFrame, num_perm: int = 64, bands: int = 16,
     sig = (minhash_signatures_sql(df, num_perm, n, id_col, text_col)
            if backend == "sql"
            else minhash_signatures(df, num_perm, n, id_col, text_col))
+    # bands is a plan-time constant, so emit one STATIC struct per band
+    # (element_at + multi-column xxhash64 over the band's longs) instead
+    # of nested higher-order lambdas building strings — lambda-transform
+    # expressions evaluate interpreted per element and dominated the
+    # pipeline (~4s of a 12s q16 at sf0.1); the static form stays inside
+    # whole-stage codegen.
     banded = sig.select(
         id_col,
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b_: F.struct(
-                b_.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice(F.col("sig"),
-                                             b_ * rows + 1, rows),
-                                     lambda x: x.cast("string")))
-                           ).alias("bucket")))).alias("bb"))
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b_).alias("band"),
+                F.xxhash64(*[F.element_at(F.col("sig"), b_ * rows + i + 1)
+                             for i in range(rows)]).alias("bucket"))
+            for b_ in range(bands)])).alias("bb"))
     banded = banded.select(id_col, "bb.band", "bb.bucket")
     # banded feeds both self-join sides; without materialization each side
     # re-runs the full signature aggregation (shingle explode + num_perm
@@ -363,7 +376,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({id_col: ids,
                                 "simhash": sims.astype(np.int64)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from mdbloom.spark.session import rebalance_input
+    return rebalance_input(df.select(id_col, text_col)).mapInPandas(
         sim_batches, schema=f"{id_col} long, simhash long")
 
 
@@ -378,8 +392,9 @@ def simhash64_sql(df: DataFrame, id_col: str = "doc_id",
     pipeline, and (md5/bit ops being ANSI-portable) bit-for-bit
     mirrorable in DuckDB — which makes SimHash near-dup output
     independently oracle-checkable (VERDICT r1 item 2)."""
+    from mdbloom.spark.session import rebalance_input
     w = words_col(text_col)
-    tok = df.select(F.col(id_col), F.explode(w).alias("_w"))
+    tok = rebalance_input(df).select(F.col(id_col), F.explode(w).alias("_w"))
     h = tok.select(
         id_col,
         F.expr(
