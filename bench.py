@@ -260,6 +260,49 @@ def main():
 
     shutil.rmtree(idx_path, ignore_errors=True)
     shutil.rmtree(src_path, ignore_errors=True)
+
+    # ---- host-health canary (UNTIMED — runs after every measured
+    # segment; `value` sums only the timed keys). This VM shows episodic
+    # parallel memory-bandwidth collapse (BENCH.md protocol); recording
+    # the same probes the scaling harness gates on makes each bench
+    # capture interpretable: compare 'canary_*' across rounds before
+    # comparing the timings. Healthy: scatter ~145-230 ms, 8-thread
+    # sustained stream >= ~25 GB/s.
+    try:
+        import threading
+        rng = np.random.default_rng(0)
+        t_ = 720_000
+        pos = rng.integers(0, 576, (t_, 10), dtype=np.int64)
+        outm = np.zeros((t_, 9), dtype=np.uint64)
+        rows_ = np.repeat(np.arange(t_), 10)
+        flat = pos.ravel()
+        masks = np.uint64(1) << (flat & 63).astype(np.uint64)
+        t0 = time.monotonic()
+        np.bitwise_or.at(outm, (rows_, flat >> 6), masks)
+        extra["canary_scatter_ms"] = round((time.monotonic() - t0) * 1000, 1)
+
+        words = (64 << 20) // 8  # 64 MB per buffer
+        bufs = [(np.ones(words, np.uint64), np.ones(words, np.uint64),
+                 np.zeros(words, np.uint64)) for _ in range(8)]
+        for a_, b_, o_ in bufs:  # pre-touch so the probe measures streaming
+            np.bitwise_or(a_, b_, out=o_)
+        stop = time.monotonic() + 1.5
+        moved = [0] * 8
+
+        def _worker(i):
+            a_, b_, o_ = bufs[i]
+            while time.monotonic() < stop:
+                np.bitwise_or(a_, b_, out=o_)
+                moved[i] += 3 * words * 8
+        th = [threading.Thread(target=_worker, args=(i,)) for i in range(8)]
+        t0 = time.monotonic()
+        [t.start() for t in th]
+        [t.join() for t in th]
+        extra["canary_stream_gbps_8t"] = round(
+            sum(moved) / (time.monotonic() - t0) / 1e9, 2)
+    except Exception:
+        pass  # the canary must never fail the bench
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "mdbloom headline suite wall time (build+query+analytics)",
