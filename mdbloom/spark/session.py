@@ -65,6 +65,8 @@ def rebalance_input(df, min_parts: int | None = None):
     scale inputs carry orders of magnitude more splits than cores, the
     branch is not taken, and no exchange enters the plan. Catalyst still
     pushes filters/pruning through the inserted Repartition."""
+    if df.isStreaming:  # .rdd is undefined for streaming plans; micro-
+        return df       # batches are already sized by the source
     min_parts = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)

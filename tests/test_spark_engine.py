@@ -320,3 +320,27 @@ def test_local_xxh64_mirror_matches_spark(spark):
     assert len(rows) == len(toks)
     for r in rows:
         assert spark_xxhash64_pair(r.t) == (r.h1, r.h2), repr(r.t)
+
+
+def test_rebalance_input_guard(spark, tmp_path):
+    """rebalance_input repartitions ONLY under-parallel scans: a
+    single-file input gains partitions, an already-parallel frame is
+    returned untouched (same plan object, no inserted exchange), and a
+    streaming frame passes through unexamined (.rdd is undefined there)."""
+    from mdbloom.spark.session import rebalance_input
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    assert one.rdd.getNumPartitions() == 1
+    par = spark.sparkContext.defaultParallelism
+    out = rebalance_input(one)
+    assert out.rdd.getNumPartitions() == max(par, 1)
+    assert out.count() == 1000
+
+    wide = spark.range(1000).repartition(par + 2)
+    assert rebalance_input(wide) is wide
+
+    sdf = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+           .load())
+    assert rebalance_input(sdf) is sdf
