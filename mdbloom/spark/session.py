@@ -34,6 +34,18 @@ def get_spark(app: str = "mdbloom", master: str | None = None,
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.memory", os.environ.get("MDBLOOM_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # The engine's wide generated expressions (k*W-term filter-word
+        # assembly, 64-column SimHash votes, slab-SQL word ANDs) can pump
+        # a whole-stage-codegen method past HotSpot C2's
+        # DontCompileHugeMethods threshold (8000 bytecodes): the JVM then
+        # refuses to JIT it and the fused mega-method runs in the BYTECODE
+        # INTERPRETER — measured 3-5x SLOWER than Spark's non-fused path
+        # (filter hash pass at 200k turns: 11-15s fused-interpreted vs
+        # 2.4-3.9s split). Spark's own fallback only trips at 65535, so
+        # align it with the JIT's real limit: stages whose generated method
+        # would exceed 8000 bytecodes fall back to compiled expression
+        # classes automatically; everything smaller still fuses.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     if os.environ.get("MDBLOOM_JVM_PRETOUCH") == "1":
         # Fault-path mitigation (measured on this sandbox, BENCH.md): the
