@@ -346,6 +346,85 @@ class BloomIndexReader:
             keep &= B.contains_words(gates, *B.nonzero_words(gq))
         return sorted(int(s) for s in shards[keep])
 
+    def prune_shards_many_distributed(self, queries: dict) -> dict:
+        """Batched pruning as ONE Spark job over the manifest parquet:
+        for Q queries at once, evaluate the SAME sparse summary + token-
+        gate word tests as :meth:`prune_shards`, executor-side.
+
+        This is the pruning path past driver-matrix scale (README "Sizing
+        at 100 TB"): at ~10⁶ shards the manifest is a ~100 GB parquet
+        table of gates — a table to scan in parallel, not a NumPy array
+        to hold on the driver. The per-query sparse word plans are tiny
+        (k·tokens words each) and ride a broadcast; the output (query id,
+        surviving shard) is small by construction, so collecting it back
+        for scan planning is safe. Reference frame: the gate short-
+        circuit of `ContainerImpl.java:115,171` lifted to a distributed
+        metadata scan.
+
+        ``queries`` maps query id -> token list (empty list = match-all,
+        as in :meth:`prune_shards`). Returns {query id: sorted shard
+        list}, bit-identical to looping :meth:`prune_shards` when every
+        manifest row carries a gate (a null-gate row conservatively
+        passes the gate test for that shard alone, where the driver path
+        disables the gate globally)."""
+        import pandas as pd
+
+        empty_idx = np.array([], dtype=np.int64)
+        empty_val = np.array([], dtype=B.U64)
+        plans = []
+        for qid, toks in queries.items():
+            toks = list(toks)
+            qbits = self.query_bits(toks)
+            if qbits.size:
+                sidx, sval = B.nonzero_words(B.from_bits(qbits, self.shape.m))
+            else:
+                sidx, sval = empty_idx, empty_val
+            if toks:
+                gidx, gval = B.nonzero_words(self._gate_filter(toks))
+            else:
+                gidx, gval = empty_idx, empty_val
+            plans.append((str(qid), sidx, sval, gidx, gval))
+        man = self.spark.read.parquet(
+            os.path.join(self.path, "manifest")).select(
+            "shard", "summary", "token_gate")
+        bc = self.spark.sparkContext.broadcast(plans)
+
+        def fn(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                summaries = np.stack(
+                    [np.frombuffer(b, dtype=B.U64) for b in pdf["summary"]])
+                has_gate = pdf["token_gate"].notna().to_numpy()
+                gates = None
+                if has_gate.any():
+                    gw = len(np.frombuffer(
+                        pdf["token_gate"][pdf.index[has_gate.argmax()]],
+                        dtype=B.U64))
+                    gates = np.zeros((len(pdf), gw), dtype=B.U64)
+                    gates[has_gate] = np.stack(
+                        [np.frombuffer(b, dtype=B.U64)
+                         for b in pdf["token_gate"][has_gate]])
+                shards = pdf["shard"].to_numpy()
+                out_q, out_s = [], []
+                for qid, sidx, sval, gidx, gval in bc.value:
+                    keep = B.contains_words(summaries, sidx, sval)
+                    if gates is not None and gidx.size:
+                        gk = B.contains_words(gates, gidx, gval)
+                        # a shard without a gate cannot be gate-pruned
+                        keep &= gk | ~has_gate
+                    ks = shards[keep]
+                    out_q.extend([qid] * len(ks))
+                    out_s.extend(int(s) for s in ks)
+                yield pd.DataFrame({"query_id": out_q, "shard": out_s})
+
+        rows = man.mapInPandas(fn, "query_id string, shard int").collect()
+        out: dict = {qid: [] for qid in queries}
+        by_str = {str(qid): qid for qid in queries}
+        for r in rows:
+            out[by_str[r.query_id]].append(r.shard)
+        return {qid: sorted(v) for qid, v in out.items()}
+
     # ---------------- search ----------------
     def search_keys(self, tokens) -> DataFrame:
         """Containment search -> DataFrame (shard, slot, key) of candidate

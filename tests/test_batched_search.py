@@ -340,3 +340,25 @@ def test_linear_many_applies_per_query_gate_pruning(spark, tmp_path):
     assert (set(map(tuple, lin[key].itertuples(index=False)))
             == set(map(tuple, slab[key].itertuples(index=False))))
     assert set(lin[lin["query"] == "q"]["shard"]) <= {needle_shard}
+
+
+def test_prune_shards_many_distributed_matches_driver(spark, reader):
+    """The one-job distributed manifest prune (the past-driver-scale
+    planning path, README 100 TB sizing) must return bit-identical shard
+    lists to the driver-matrix prune_shards loop — including the
+    empty-token match-all and a no-survivor query."""
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "every": [],
+        "absent": ["tok=zzznope", "tok=zzznope2"],
+        7: reader.transcript_query_tokens("user", None, ["w00000"]),
+    }
+    got = reader.prune_shards_many_distributed(queries)
+    assert set(got) == set(queries)
+    for qid, toks in queries.items():
+        want = reader.prune_shards(reader.query_bits(list(toks)),
+                                   list(toks))
+        assert got[qid] == want, qid
+    assert got["every"] == sorted(
+        int(s) for s in reader.manifest()["shard"])
