@@ -46,6 +46,9 @@ def get_spark(app: str = "mdbloom", master: str | None = None,
         # would exceed 8000 bytecodes fall back to compiled expression
         # classes automatically; everything smaller still fuses.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # the mdbloom Python data source (datasource.py) prunes shards /
+        # keys inside the source via pushFilters — off by default in 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if os.environ.get("MDBLOOM_JVM_PRETOUCH") == "1":
         # Fault-path mitigation (measured on this sandbox, BENCH.md): the

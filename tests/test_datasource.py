@@ -1,0 +1,96 @@
+"""spark.read.format("mdbloom") — the Python Data Source surface must
+return exactly the reader's live storage rows, with containment and
+shard/key pushdown honored inside the source."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+from mdbloom.spark.datasource import MdbloomDataSource, MdbloomReader
+from mdbloom.spark.query import BloomIndexReader
+from mdbloom.spark.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dsidx") / "index")
+    df = synthesize_transcripts(spark, 1500, seed=42)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
+                      chunk_slots=256)
+    BloomIndexWriter(spark, cfg).build(df, path)
+    spark.dataSource.register(MdbloomDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return path
+
+
+def _ids(pdf):
+    return set(map(tuple, pdf[["conv_id", "turn_idx"]]
+                   .itertuples(index=False)))
+
+
+def test_plain_load_equals_storage(spark, idx_path):
+    got = spark.read.format("mdbloom").option("path", idx_path).load()
+    assert "filter" not in got.columns
+    want = BloomIndexReader(spark, idx_path).storage().toPandas()
+    assert _ids(got.toPandas()) == _ids(want)
+    assert got.count() == len(want)
+
+
+def test_tokens_option_equals_search(spark, idx_path):
+    reader = BloomIndexReader(spark, idx_path)
+    toks = reader.transcript_query_tokens("assistant", None, ["w00001"])
+    got = (spark.read.format("mdbloom").option("path", idx_path)
+           .option("tokens", ",".join(toks)).load()).toPandas()
+    want = reader.search(toks).toPandas()
+    assert _ids(got) == _ids(want) and len(got) > 0
+
+
+def test_absent_tokens_yield_no_rows(spark, idx_path):
+    got = (spark.read.format("mdbloom").option("path", idx_path)
+           .option("tokens", "tok=zzznope,tok=zzznope2").load())
+    assert got.count() == 0
+
+
+def test_shard_pushdown_prunes_partitions(spark, idx_path):
+    got = (spark.read.format("mdbloom").option("path", idx_path).load()
+           .where(F.col("shard") == 2)).toPandas()
+    want = BloomIndexReader(spark, idx_path).storage() \
+        .where(F.col("shard") == 2).toPandas()
+    assert _ids(got) == _ids(want) and len(got) > 0
+    # the filter is consumed by the source: partitions() plans one shard
+    r = MdbloomReader({"path": idx_path}, spark.read.format("mdbloom")
+                      .option("path", idx_path).load().schema)
+    from pyspark.sql.datasource import EqualTo
+    rest = list(r.pushFilters([EqualTo(("shard",), 2)]))
+    assert rest == []
+    assert [p.value for p in r.partitions()] == [2]
+
+
+def test_key_equality_pushdown(spark, idx_path):
+    reader = BloomIndexReader(spark, idx_path)
+    row = reader.storage().select("shard", "key").head(1)[0]
+    got = (spark.read.format("mdbloom").option("path", idx_path).load()
+           .where(F.col("key") == row.key)).toPandas()
+    want = reader.storage().where(F.col("key") == row.key).toPandas()
+    assert len(got) == len(want) > 0
+    assert set(got["key"]) == {row.key}
+
+
+def test_include_filter_and_tombstones(spark, tmp_path):
+    path = str(tmp_path / "index")
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=2,
+                      chunk_slots=64)
+    df = synthesize_transcripts(spark, 200, seed=7)
+    w = BloomIndexWriter(spark, cfg)
+    w.build(df, path)
+    victim = df.orderBy("conv_id", "turn_idx").head(1)[0]
+    w.remove(
+        df.where((F.col("conv_id") == victim.conv_id)
+                 & (F.col("turn_idx") == victim.turn_idx)), path)
+    got = (spark.read.format("mdbloom").option("path", path)
+           .option("include_filter", "true").load())
+    assert "filter" in got.columns
+    pdf = got.toPandas()
+    assert (victim.conv_id, victim.turn_idx) not in _ids(pdf)
+    want = BloomIndexReader(spark, path).storage().toPandas()
+    assert _ids(pdf) == _ids(want)
