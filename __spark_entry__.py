@@ -645,6 +645,25 @@ def q35_bloom_search_slab_sql(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q36_datasource_search(spark, sf_dir):
+    """q14's RAW containment search answered through the data-source
+    read surface: ``spark.read.format("mdbloom")`` (spark/datasource.py)
+    — the index as a native PySpark 4 Python Data Source with the
+    containment predicate pushed INTO the source (shard pruning at
+    partition-planning time, vectorized superset test over each shard's
+    Arrow batches, tombstone-aware). Runs on the same python/md5-backend
+    single-shard index as q14, so the oracle independently re-derives
+    every stored filter and reproduces the hit set INCLUDING the
+    designed-rate false positives (`_bloom_raw_oracle_sql`)."""
+    from mdbloom.spark.datasource import MdbloomDataSource
+    r = _doc_index_py(spark, sf_dir)
+    spark.dataSource.register(MdbloomDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (spark.read.format("mdbloom").option("path", r.path)
+            .option("tokens", "tok=spark,tok=window").load()
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -842,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_search_verified_many": q33_search_verified_many,
         "q34_novelty_filter": q34_novelty_filter,
         "q35_bloom_search_slab_sql": q35_bloom_search_slab_sql,
+        "q36_datasource_search": q36_datasource_search,
     }
 
 
@@ -1022,6 +1042,10 @@ def oracle_sql() -> dict[str, str]:
         # hashing.py) and reproduces the raw hit set INCLUDING false
         # positives — see _bloom_raw_oracle_sql
         "q14_bloom_search_raw": _bloom_raw_oracle_sql(
+            ["tok=spark", "tok=window"]),
+        # q36 = q14's raw semantics via spark.read.format("mdbloom") —
+        # fourth read surface, same independently-re-derived oracle
+        "q36_datasource_search": _bloom_raw_oracle_sql(
             ["tok=spark", "tok=window"]),
         "q15_bloom_exact_get": rf"""
             WITH q AS (
