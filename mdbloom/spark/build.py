@@ -771,3 +771,55 @@ class BloomIndexWriter:
         stats = self.build(alive, path, resume=True)
         shutil.rmtree(tomb, ignore_errors=True)
         return stats
+
+
+# paths currently being folded by THIS process — fold_pending() runs a
+# build, and code reached from a build (remove/compact open a
+# BloomIndexReader, which auto-folds) must not recurse into the fold
+_FOLDING: set = set()
+
+
+def fold_pending(spark: SparkSession, path: str) -> dict:
+    """Fold sink-staged appends (``<path>/pending/``, written by
+    ``df.write.format("mdbloom")`` — see mdbloom.spark.datasource) into
+    the index: promote the pending files into the engine-owned
+    ``source/`` table and run an incremental ``build(resume=True)``,
+    which re-fingerprints per shard and rebuilds ONLY the shards the new
+    rows hash into.
+
+    Spark's Python Data Source commit hook runs in a session-less plan
+    worker, so the sink cannot launch the fold job itself; instead the
+    fold happens here — distributed, on the real cluster — at the next
+    engine open (`BloomIndexReader.__init__` calls this) or explicitly.
+
+    Crash-safe and idempotent: pending files are *copied* into source/
+    under their original (uuid) names via tmp+rename, so a fold that
+    dies after the copy re-promotes identical bytes on retry, the
+    resume build heals from fingerprints, and pending files are removed
+    only after the build commits. Single writer assumed (same contract
+    as build itself)."""
+    pend = os.path.join(path, "pending")
+    if not os.path.isdir(pend) or os.path.abspath(path) in _FOLDING:
+        return {"folded_files": 0}
+    files = sorted(f for f in os.listdir(pend) if f.endswith(".parquet"))
+    if not files:
+        return {"folded_files": 0}
+    _FOLDING.add(os.path.abspath(path))
+    try:
+        import shutil
+        src = os.path.join(path, "source")
+        os.makedirs(src, exist_ok=True)
+        for f in files:
+            tmp = os.path.join(src, "." + f + ".tmp")
+            shutil.copyfile(os.path.join(pend, f), tmp)
+            os.replace(tmp, os.path.join(src, f))
+        with open(os.path.join(path, "config.json")) as fh:
+            cfg = IndexConfig.from_json(fh.read())
+        stats = BloomIndexWriter(spark, cfg).build(
+            spark.read.parquet(src), path, resume=True)
+        for f in files:
+            os.remove(os.path.join(pend, f))
+        stats["folded_files"] = len(files)
+        return stats
+    finally:
+        _FOLDING.discard(os.path.abspath(path))

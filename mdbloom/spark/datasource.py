@@ -39,6 +39,26 @@ tokens, containment semantics (tokens containing commas need the
 DataFrame API paths instead); ``include_filter`` — "true" keeps the
 stored ``filter`` word column (default drops it, like
 ``storage(keep_filter=False)``).
+
+The format is also a SINK (:class:`MdbloomWriter`)::
+
+    df.write.format("mdbloom").mode("append").option("path", p).save()
+
+``overwrite`` (re)creates the index from the written rows (IndexConfig
+fields accepted as options: n_per_record, probability, n_shards,
+chunk_slots, tag_columns, id_columns, payload_columns, text_column,
+hash_backend); ``append`` adds rows incrementally. The write is
+LSM-shaped: executors stage Arrow batches as parquet, commit promotes
+them atomically into ``<path>/pending/`` (Spark's Python Data Source
+commit hook runs in a session-less plan worker, so it cannot launch
+the index build), and the *fold* — ``build(resume=True)``, which
+rebuilds only the shards the new rows hash into — runs distributed at
+the next engine open (``BloomIndexReader`` auto-folds) or explicitly
+via :func:`mdbloom.spark.build.fold_pending`. Until then this source
+still reads the pending tail: it materializes (shard, key, filter) for
+the staged rows with the same Spark-free hash mirrors the planner
+uses, bit-identical to what the fold will build, so containment/key
+pushdown and tombstone semantics hold on unfolded rows too.
 """
 
 from __future__ import annotations
@@ -48,8 +68,9 @@ import os
 
 import numpy as np
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    In, InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo, In,
+                                    InputPartition, WriterCommitMessage)
 
 from mdbloom import bits as B
 
@@ -86,6 +107,92 @@ def _storage_dataset(path: str):
                         partitioning="hive")
 
 
+def _pending_files(path: str) -> list:
+    """Sink-staged parquet files not yet folded into the index."""
+    pend = os.path.join(path, "pending")
+    if not os.path.isdir(pend):
+        return []
+    return [os.path.join(pend, f) for f in sorted(os.listdir(pend))
+            if f.endswith(".parquet")]
+
+
+def _carry_columns(cfg) -> list:
+    return list(cfg.id_columns) + [c for c in cfg.payload_columns
+                                   if c not in cfg.id_columns]
+
+
+def _tail_storage_table(path: str, cfg):
+    """Materialize the pending (unfolded) sink appends as storage-shaped
+    rows ``(key, <carry>, filter, shard)`` — BIT-IDENTICAL to what the
+    fold build will write, via the Spark-free mirrors: shard =
+    pmod(xxhash64(id0), n_shards) (`build.filters_df`), filter/key via
+    the backend the config records. Returns a pyarrow Table or None."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    files = _pending_files(path)
+    if not files:
+        return None
+    ds = pads.dataset(files, format="parquet")
+    carry = _carry_columns(cfg)
+    need = list(dict.fromkeys(
+        carry + [c for c in cfg.tag_columns if c in ds.schema.names]
+        + ([cfg.text_column] if cfg.text_column
+           and cfg.text_column in ds.schema.names else [])))
+    pdf = ds.to_table(columns=need).to_pandas()
+    if not len(pdf):
+        return None
+    from mdbloom.spark.jvm_hash import spark_xxhash64_pair
+    id0 = pdf[cfg.id_columns[0]].to_numpy(dtype=object)
+    if not all(isinstance(v, str) for v in id0[:1]):
+        raise ValueError(
+            "mdbloom tail read needs a string first id column to mirror "
+            "the build's shard hash; fold the index first "
+            "(BloomIndexReader folds on open)")
+    uniq_ids, inv_ids = np.unique(id0, return_inverse=True)
+    shard_u = np.array([spark_xxhash64_pair(v)[0] % cfg.n_shards
+                        for v in uniq_ids], dtype=np.int32)
+    shard = shard_u[inv_ids]
+
+    if cfg.hash_backend == "jvm":
+        from mdbloom.spark.build import record_tokens_pandas
+        from mdbloom.spark.jvm_hash import gate_positions_batch
+        # the jvm build aggregates filter words per (shard, carry) over
+        # exploded token rows — records with zero tokens drop, duplicate
+        # carry keys merge (build.filters_df / aggregated_filter_words)
+        flat, rows = record_tokens_pandas(pdf, cfg)
+        gid = pdf.groupby(carry, sort=False).ngroup().to_numpy()
+        tu, tinv = np.unique(flat, return_inverse=True) if flat.size else \
+            (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        if not tu.size:
+            return None
+        pairs = np.array([spark_xxhash64_pair(t) for t in tu],
+                         dtype=np.int64)
+        masks = B.masks_from_positions(
+            gate_positions_batch(pairs[:, 0], pairs[:, 1], cfg.shape),
+            cfg.shape.m)
+        n_groups = int(gid.max()) + 1
+        packed = B.zeros(cfg.shape.m, n_groups)
+        np.bitwise_or.at(packed, gid[rows], masks[tinv])
+        live, first_idx = np.unique(gid, return_index=True)
+        has_tok = np.isin(live, np.unique(gid[rows]))
+        live, first_idx = live[has_tok], first_idx[has_tok]
+        packed = packed[live]
+        out_rows = pdf.iloc[first_idx]
+        shard = shard[first_idx]
+    else:
+        from mdbloom.spark.build import filters_for_batch
+        packed = filters_for_batch(pdf, cfg)  # one row per input row
+        out_rows = pdf
+
+    data = {"key": pa.array(B.content_keys(packed), pa.string())}
+    for c in carry:
+        data[c] = pa.Array.from_pandas(out_rows[c])
+    signed = packed.view(np.int64)
+    data["filter"] = pa.array(list(signed), pa.list_(pa.int64()))
+    data["shard"] = pa.array(shard, pa.int32())
+    return pa.table(data)
+
+
 class MdbloomReader(DataSourceReader):
     def __init__(self, options, schema):
         self.path = options["path"]
@@ -116,73 +223,230 @@ class MdbloomReader(DataSourceReader):
                 yield f  # unsupported -> Spark applies it
 
     # -------- planning (driver, Spark-free) --------
+    TAIL = -1  # partition value for the pending (unfolded) sink appends
+
     def partitions(self):
         import pyarrow.dataset as pads
-        man = pads.dataset(os.path.join(self.path, "manifest"),
-                           format="parquet") \
-            .to_table(columns=["shard", "summary", "token_gate"])
-        shards = man["shard"].to_numpy()
-        keep = np.ones(len(shards), dtype=bool)
-        if self.tokens:
-            qbits, gate = _planner(self.cfg)
-            summaries = np.stack([np.frombuffer(b, dtype=B.U64)
-                                  for b in man["summary"].to_pylist()])
-            keep &= B.contains_words(
-                summaries, *B.nonzero_words(
-                    B.from_bits(qbits(self.tokens), self.cfg.shape.m)))
-            gl = man["token_gate"].to_pylist()
-            if all(b is not None for b in gl):
-                gates = np.stack([np.frombuffer(b, dtype=B.U64)
-                                  for b in gl])
+        parts = []
+        man_dir = os.path.join(self.path, "manifest")
+        if os.path.isdir(man_dir):  # absent on a sink-only unfolded index
+            man = pads.dataset(man_dir, format="parquet") \
+                .to_table(columns=["shard", "summary", "token_gate"])
+            shards = man["shard"].to_numpy()
+            keep = np.ones(len(shards), dtype=bool)
+            if self.tokens:
+                qbits, gate = _planner(self.cfg)
+                summaries = np.stack([np.frombuffer(b, dtype=B.U64)
+                                      for b in man["summary"].to_pylist()])
                 keep &= B.contains_words(
-                    gates, *B.nonzero_words(gate(self.tokens)))
-        if self._shard_pred is not None:
-            keep &= np.isin(shards, list(self._shard_pred))
-        return [InputPartition(int(s)) for s in shards[keep]]
+                    summaries, *B.nonzero_words(
+                        B.from_bits(qbits(self.tokens), self.cfg.shape.m)))
+                gl = man["token_gate"].to_pylist()
+                if all(b is not None for b in gl):
+                    gates = np.stack([np.frombuffer(b, dtype=B.U64)
+                                      for b in gl])
+                    keep &= B.contains_words(
+                        gates, *B.nonzero_words(gate(self.tokens)))
+            if self._shard_pred is not None:
+                keep &= np.isin(shards, list(self._shard_pred))
+            parts = [InputPartition(int(s)) for s in shards[keep]]
+        if _pending_files(self.path):
+            # pending rows span shards and are not in the manifest —
+            # one extra partition, filtered row-wise inside _read_tail
+            parts.append(InputPartition(self.TAIL))
+        return parts
 
     # -------- execution (executor, vectorized) --------
-    def read(self, partition):
+    def _containment_filter(self, tbl):
+        """Keep rows whose stored filter words are a superset of the
+        query bits (`Linear.java:134-140` semantics, vectorized)."""
         import pyarrow as pa
+        if not self.tokens or not len(tbl):
+            return tbl
+        qbits, _ = _planner(self.cfg)
+        q = B.from_bits(qbits(self.tokens),
+                        self.cfg.shape.m).view(np.int64)
+        words = np.stack(tbl["filter"].to_numpy(zero_copy_only=False))
+        idx = np.flatnonzero(q)
+        ok = np.all((words[:, idx] & q[idx]) == q[idx], axis=1) \
+            if idx.size else np.ones(len(tbl), dtype=bool)
+        return tbl.filter(pa.array(ok))
+
+    def _drop_tombstoned(self, tbl, shard: int | None):
+        """Anti-join the append-only tombstones on (key, <ids>); shard
+        restricts the tombstone scan when the rows are single-shard."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        tomb = os.path.join(self.path, "tombstones")
+        if not os.path.exists(tomb) or not len(tbl):
+            return tbl
+        ids = list(self.cfg.id_columns)
+        dead = pads.dataset(tomb, format="parquet").to_table(
+            columns=["shard", "key"] + ids,
+            filter=None if shard is None
+            else pads.field("shard") == shard)
+        if not len(dead):
+            return tbl
+        left = tbl.select(["key"] + ids).to_pandas()
+        right = dead.select(["key"] + ids).to_pandas().drop_duplicates()
+        hit = left.merge(right, on=["key"] + ids, how="left",
+                         indicator=True)["_merge"].to_numpy() == "left_only"
+        return tbl.filter(pa.array(hit))
+
+    def read(self, partition):
         import pyarrow.dataset as pads
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if partition is None:  # partitions() pruned every shard
             return
+        cols = [f.name for f in self.schema.fields]
+        if partition.value == self.TAIL:
+            import pyarrow as pa
+            tbl = _tail_storage_table(self.path, self.cfg)
+            if tbl is None:
+                return
+            if self._shard_pred is not None and len(tbl):
+                tbl = tbl.filter(pa.array(np.isin(
+                    tbl["shard"].to_numpy(), list(self._shard_pred))))
+            if self._key_pred is not None and len(tbl):
+                tbl = tbl.filter(pa.array(np.isin(
+                    np.asarray(tbl["key"].to_pylist(), dtype=object),
+                    sorted(self._key_pred))))
+            tbl = self._drop_tombstoned(self._containment_filter(tbl),
+                                        shard=None)
+            out = tbl.select(cols).cast(to_arrow_schema(self.schema))
+            yield from out.to_batches()
+            return
         shard = partition.value
         expr = pads.field("shard") == shard
         if self._key_pred is not None:
             expr = expr & pads.field("key").isin(sorted(self._key_pred))
-        cols = [f.name for f in self.schema.fields]
         scan_cols = list(dict.fromkeys(
             cols + (["filter"] if self.tokens else [])))
         tbl = _storage_dataset(self.path).to_table(columns=scan_cols,
                                                    filter=expr)
-        if self.tokens and len(tbl):
-            qbits, _ = _planner(self.cfg)
-            q = B.from_bits(qbits(self.tokens),
-                            self.cfg.shape.m).view(np.int64)
-            words = np.stack(tbl["filter"].to_numpy(zero_copy_only=False))
-            idx = np.flatnonzero(q)
-            ok = np.all((words[:, idx] & q[idx]) == q[idx], axis=1) \
-                if idx.size else np.ones(len(tbl), dtype=bool)
-            tbl = tbl.filter(pa.array(ok))
-        tomb = os.path.join(self.path, "tombstones")
-        if os.path.exists(tomb) and len(tbl):
-            ids = list(self.cfg.id_columns)
-            dead = pads.dataset(tomb, format="parquet").to_table(
-                columns=["shard", "key"] + ids,
-                filter=pads.field("shard") == shard)
-            if len(dead):
-                import pandas as pd
-                left = tbl.select(["key"] + ids).to_pandas()
-                right = dead.select(["key"] + ids).to_pandas() \
-                    .drop_duplicates()
-                hit = left.merge(right, on=["key"] + ids, how="left",
-                                 indicator=True)["_merge"] \
-                    .to_numpy() == "left_only"
-                tbl = tbl.filter(pa.array(hit))
+        tbl = self._drop_tombstoned(self._containment_filter(tbl),
+                                    shard=shard)
         out = tbl.select(cols).cast(to_arrow_schema(self.schema))
         yield from out.to_batches()
+
+
+class MdbloomWriter(DataSourceArrowWriter):
+    """``df.write.format("mdbloom")`` — the index as a Spark SINK.
+
+    Executors stage the incoming Arrow batches as parquet files under
+    ``<path>/_staging/<job>/`` (one file per task); ``commit`` promotes
+    them atomically (per-file rename) into ``<path>/pending/``. The
+    commit hook runs in Spark's session-less Python plan worker, so it
+    deliberately does NO Spark work: the fold into the index —
+    ``BloomIndexWriter.build(source, path, resume=True)``, which
+    re-fingerprints the source and rebuilds ONLY the shards the new
+    rows hash into — runs at the next engine open
+    (`BloomIndexReader.__init__`) or via `build.fold_pending`, on the
+    real cluster. Reads through this format see pending rows
+    immediately (the reader materializes the tail with the Spark-free
+    hash mirrors). ``abort`` removes the staging dir, leaving index +
+    pending untouched.
+
+    ``mode("append")`` requires the index to own its source (a
+    ``source/`` dir maintained by this sink's folds) — appending
+    through the sink to an index built directly from a foreign
+    DataFrame would make the fold's resume build see only the new rows
+    and drop everything else, so that case raises. ``mode("overwrite")``
+    replaces config, source and index artifacts.
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options["path"]
+        self.options = dict(options)
+        self.schema = schema
+        self.overwrite = overwrite
+        import uuid
+        self.job = uuid.uuid4().hex
+        src = os.path.join(self.path, "source")
+        if (not overwrite and os.path.exists(
+                os.path.join(self.path, "config.json"))
+                and not os.path.exists(src)
+                and not _pending_files(self.path)):
+            raise ValueError(
+                f"index at {self.path} was not built through this sink "
+                "(no source/ dir): append would rebuild from the new "
+                "rows alone. Use mode('overwrite') or "
+                "BloomIndexWriter.build on the full input.")
+
+    def _staging(self) -> str:
+        return os.path.join(self.path, "_staging", self.job)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        batches = list(iterator)
+        if not batches:
+            return WriterCommitMessage()
+        os.makedirs(self._staging(), exist_ok=True)
+        f = os.path.join(self._staging(), f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), f,
+                       compression="zstd")
+        return WriterCommitMessage()
+
+    def _cfg(self):
+        from mdbloom.spark.build import IndexConfig
+        cfg_file = os.path.join(self.path, "config.json")
+        if os.path.exists(cfg_file) and not self.overwrite:
+            return _load_cfg(self.path)
+        o = self.options
+        kw = {}
+        for k in ("n_per_record", "n_shards", "chunk_slots"):
+            if k in o:
+                kw[k] = int(o[k])
+        if "probability" in o:
+            kw["probability"] = float(o["probability"])
+        for k in ("tag_columns", "id_columns", "payload_columns"):
+            if k in o:
+                kw[k] = tuple(t for t in o[k].split(",") if t)
+        for k in ("text_column", "hash_backend"):
+            if k in o:
+                kw[k] = o[k]
+        return IndexConfig(**kw)
+
+    def commit(self, messages):
+        """Runs in Spark's session-less Python plan worker — filesystem
+        promotion only, the distributed fold happens at the next engine
+        open (see class docstring / build.fold_pending)."""
+        import shutil
+        cfg_file = os.path.join(self.path, "config.json")
+        if self.overwrite:
+            for sub in ("source", "pending", "storage", "slabs",
+                        "tombstones", "manifest"):
+                shutil.rmtree(os.path.join(self.path, sub),
+                              ignore_errors=True)
+            try:
+                os.remove(cfg_file)
+            except FileNotFoundError:
+                pass
+        os.makedirs(self.path, exist_ok=True)
+        if not os.path.exists(cfg_file):
+            with open(cfg_file, "w") as f:
+                f.write(self._cfg().to_json())
+        else:
+            _load_cfg(self.path)  # fail fast on on-disk format drift
+        pend = os.path.join(self.path, "pending")
+        os.makedirs(pend, exist_ok=True)
+        staged = self._staging()
+        if os.path.exists(staged):
+            for f in sorted(os.listdir(staged)):
+                os.replace(os.path.join(staged, f), os.path.join(pend, f))
+        shutil.rmtree(staged, ignore_errors=True)
+        try:  # shared staging parent: only remove when empty
+            os.rmdir(os.path.join(self.path, "_staging"))
+        except OSError:
+            pass
+
+    def abort(self, messages):
+        import shutil
+        shutil.rmtree(self._staging(), ignore_errors=True)
 
 
 class MdbloomDataSource(DataSource):
@@ -194,15 +458,36 @@ class MdbloomDataSource(DataSource):
         return "mdbloom"
 
     def schema(self):
+        import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
         path = self.options["path"]
-        _load_cfg(path)  # fail fast on format drift
-        sch = _storage_dataset(path).schema
-        names = [n for n in sch.names
-                 if n != "filter"
-                 or self.options.get("include_filter", "").lower() == "true"]
-        import pyarrow as pa
-        return from_arrow_schema(pa.schema([sch.field(n) for n in names]))
+        cfg = _load_cfg(path)  # fail fast on format drift
+        keep_filter = \
+            self.options.get("include_filter", "").lower() == "true"
+        if os.path.isdir(os.path.join(path, "storage")):
+            sch = _storage_dataset(path).schema
+            names = [n for n in sch.names
+                     if n != "filter" or keep_filter]
+            return from_arrow_schema(
+                pa.schema([sch.field(n) for n in names]))
+        # sink-only index, nothing folded yet: derive the storage shape
+        # (key, <carry>, [filter,] shard) from config + the pending
+        # files' source schema — same column order the build writes
+        files = _pending_files(path)
+        if not files:
+            raise ValueError(f"index at {path} has no storage/ and no "
+                             "pending/ rows")
+        import pyarrow.dataset as pads
+        src = pads.dataset(files, format="parquet").schema
+        fields = [pa.field("key", pa.string())]
+        fields += [src.field(c) for c in _carry_columns(cfg)]
+        if keep_filter:
+            fields.append(pa.field("filter", pa.list_(pa.int64())))
+        fields.append(pa.field("shard", pa.int32()))
+        return from_arrow_schema(pa.schema(fields))
 
     def reader(self, schema):
         return MdbloomReader(self.options, schema)
+
+    def writer(self, schema, overwrite):
+        return MdbloomWriter(self.options, schema, overwrite)

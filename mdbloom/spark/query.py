@@ -127,6 +127,13 @@ class BloomIndexReader:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        if os.path.isdir(os.path.join(path, "pending")):
+            # sink-staged appends (df.write.format("mdbloom")) not yet
+            # folded into the index: fold them now, distributed — the
+            # sink's commit hook runs in a session-less plan worker and
+            # cannot launch the build itself (see build.fold_pending)
+            from mdbloom.spark.build import fold_pending
+            fold_pending(spark, path)
         with open(os.path.join(path, "config.json")) as f:
             raw = f.read()
         ver = json.loads(raw).get("format_version")

@@ -11,6 +11,12 @@ from mdbloom.spark.query import BloomIndexReader
 from mdbloom.spark.transcripts import synthesize_transcripts
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(MdbloomDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
 @pytest.fixture(scope="module")
 def idx_path(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("dsidx") / "index")
@@ -18,8 +24,6 @@ def idx_path(spark, tmp_path_factory):
     cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
                       chunk_slots=256)
     BloomIndexWriter(spark, cfg).build(df, path)
-    spark.dataSource.register(MdbloomDataSource)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return path
 
 
@@ -94,3 +98,59 @@ def test_include_filter_and_tombstones(spark, tmp_path):
     assert (victim.conv_id, victim.turn_idx) not in _ids(pdf)
     want = BloomIndexReader(spark, path).storage().toPandas()
     assert _ids(pdf) == _ids(want)
+
+
+def test_write_sink_overwrite_append_roundtrip(spark, tmp_path):
+    import os
+    path = str(tmp_path / "sidx")
+    df = synthesize_transcripts(spark, 300, seed=11)
+    (df.write.format("mdbloom").mode("overwrite").option("path", path)
+       .option("n_shards", "2").option("chunk_slots", "64").save())
+    # commit is Spark-free: rows land in pending/, no index built yet —
+    # reads still see everything via the bit-identical tail mirrors
+    assert os.path.isdir(os.path.join(path, "pending"))
+    assert not os.path.isdir(os.path.join(path, "storage"))
+    got = spark.read.format("mdbloom").option("path", path).load()
+    assert _ids(got.toPandas()) == _ids(df.toPandas())
+    # append brand-new conversations: old + new all visible pre-fold
+    extra = synthesize_transcripts(spark, 60, seed=12).withColumn(
+        "conv_id", F.concat(F.lit("x_"), F.col("conv_id")))
+    extra.write.format("mdbloom").mode("append").option("path", path) \
+        .save()
+    got2 = spark.read.format("mdbloom").option("path", path).load() \
+        .toPandas()
+    assert _ids(got2) == _ids(df.toPandas()) | _ids(extra.toPandas())
+    # token containment on the UNFOLDED tail...
+    toks = ["role=user", "tok=w00000"]
+    pre_fold = (spark.read.format("mdbloom").option("path", path)
+                .option("tokens", ",".join(toks)).load()).toPandas()
+    # ...engine open folds the pending rows in (distributed build)
+    r = BloomIndexReader(spark, path)
+    assert os.listdir(os.path.join(path, "pending")) == []
+    assert r.value_count() == len(got2)
+    # the tail's filters were bit-identical: pre-fold == post-fold
+    want = r.search(toks).toPandas()
+    via_ds = (spark.read.format("mdbloom").option("path", path)
+              .option("tokens", ",".join(toks)).load()).toPandas()
+    assert _ids(via_ds) == _ids(want)
+    assert _ids(pre_fold) == _ids(want)
+    # a mixed state folds too: append again onto the folded index
+    more = synthesize_transcripts(spark, 30, seed=13).withColumn(
+        "conv_id", F.concat(F.lit("y_"), F.col("conv_id")))
+    more.write.format("mdbloom").mode("append").option("path", path) \
+        .save()
+    got3 = spark.read.format("mdbloom").option("path", path).load() \
+        .toPandas()
+    assert _ids(got3) == _ids(got2) | _ids(more.toPandas())
+    assert BloomIndexReader(spark, path).value_count() == len(got3)
+
+
+def test_append_to_foreign_index_rejected(spark, tmp_path):
+    path = str(tmp_path / "fidx")
+    df = synthesize_transcripts(spark, 100, seed=3)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=2,
+                      chunk_slots=64)
+    BloomIndexWriter(spark, cfg).build(df, path)  # no source/ dir
+    with pytest.raises(Exception, match="source"):
+        df.write.format("mdbloom").mode("append").option("path", path) \
+            .save()
