@@ -68,9 +68,13 @@ import os
 
 import numpy as np
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
-                                    DataSourceReader, EqualTo, In,
-                                    InputPartition, WriterCommitMessage)
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter, EqualTo,
+                                    In, InputPartition,
+                                    WriterCommitMessage)
 
 from mdbloom import bits as B
 
@@ -331,6 +335,41 @@ class MdbloomReader(DataSourceReader):
         yield from out.to_batches()
 
 
+def _options_cfg(options):
+    """IndexConfig from write options (first write to a fresh dir)."""
+    from mdbloom.spark.build import IndexConfig
+    o = options
+    kw = {}
+    for k in ("n_per_record", "n_shards", "chunk_slots"):
+        if k in o:
+            kw[k] = int(o[k])
+    if "probability" in o:
+        kw["probability"] = float(o["probability"])
+    for k in ("tag_columns", "id_columns", "payload_columns"):
+        if k in o:
+            kw[k] = tuple(t for t in o[k].split(",") if t)
+    for k in ("text_column", "hash_backend"):
+        if k in o:
+            kw[k] = o[k]
+    return IndexConfig(**kw)
+
+
+def _ensure_index_dir(path: str, options) -> str:
+    """First write to a fresh dir records the IndexConfig (from the
+    writer options); later writes fail fast on on-disk format drift.
+    Returns the pending/ dir (created)."""
+    os.makedirs(path, exist_ok=True)
+    cfg_file = os.path.join(path, "config.json")
+    if not os.path.exists(cfg_file):
+        with open(cfg_file, "w") as f:
+            f.write(_options_cfg(options).to_json())
+    else:
+        _load_cfg(path)
+    pend = os.path.join(path, "pending")
+    os.makedirs(pend, exist_ok=True)
+    return pend
+
+
 class MdbloomWriter(DataSourceArrowWriter):
     """``df.write.format("mdbloom")`` — the index as a Spark SINK.
 
@@ -391,49 +430,21 @@ class MdbloomWriter(DataSourceArrowWriter):
                        compression="zstd")
         return WriterCommitMessage()
 
-    def _cfg(self):
-        from mdbloom.spark.build import IndexConfig
-        cfg_file = os.path.join(self.path, "config.json")
-        if os.path.exists(cfg_file) and not self.overwrite:
-            return _load_cfg(self.path)
-        o = self.options
-        kw = {}
-        for k in ("n_per_record", "n_shards", "chunk_slots"):
-            if k in o:
-                kw[k] = int(o[k])
-        if "probability" in o:
-            kw["probability"] = float(o["probability"])
-        for k in ("tag_columns", "id_columns", "payload_columns"):
-            if k in o:
-                kw[k] = tuple(t for t in o[k].split(",") if t)
-        for k in ("text_column", "hash_backend"):
-            if k in o:
-                kw[k] = o[k]
-        return IndexConfig(**kw)
-
     def commit(self, messages):
         """Runs in Spark's session-less Python plan worker — filesystem
         promotion only, the distributed fold happens at the next engine
         open (see class docstring / build.fold_pending)."""
         import shutil
-        cfg_file = os.path.join(self.path, "config.json")
         if self.overwrite:
             for sub in ("source", "pending", "storage", "slabs",
                         "tombstones", "manifest"):
                 shutil.rmtree(os.path.join(self.path, sub),
                               ignore_errors=True)
             try:
-                os.remove(cfg_file)
+                os.remove(os.path.join(self.path, "config.json"))
             except FileNotFoundError:
                 pass
-        os.makedirs(self.path, exist_ok=True)
-        if not os.path.exists(cfg_file):
-            with open(cfg_file, "w") as f:
-                f.write(self._cfg().to_json())
-        else:
-            _load_cfg(self.path)  # fail fast on on-disk format drift
-        pend = os.path.join(self.path, "pending")
-        os.makedirs(pend, exist_ok=True)
+        pend = _ensure_index_dir(self.path, self.options)
         staged = self._staging()
         if os.path.exists(staged):
             for f in sorted(os.listdir(staged)):
@@ -447,6 +458,90 @@ class MdbloomWriter(DataSourceArrowWriter):
     def abort(self, messages):
         import shutil
         shutil.rmtree(self._staging(), ignore_errors=True)
+
+
+@dataclass
+class _StreamTaskCommit(WriterCommitMessage):
+    """One staged parquet file per (microbatch, partition) task."""
+    file: str = ""
+    pid: int = -1
+
+
+class MdbloomStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("mdbloom")`` — continuous ingest into the
+    index's pending tail.
+
+    Per microbatch: executor tasks stage their Arrow batches as parquet
+    under ``<path>/_staging/stream/`` (one file per task, named by
+    partition id, path carried in the commit message); ``commit`` —
+    Spark's session-less plan worker, so filesystem-only, exactly like
+    the batch sink — promotes them to
+    ``pending/stream-<batchId>-<pid>.parquet``. Deterministic names +
+    a per-batch marker under ``_stream_commits/`` make a retried
+    microbatch overwrite rather than duplicate (the jvm hash backend
+    additionally dedups identical id rows at fold time via its
+    per-(shard, ids) aggregation). Reads through the mdbloom format see
+    each committed microbatch immediately (pending tail); the
+    distributed fold into index shards runs at each engine open or on
+    an explicit `build.fold_pending` cadence — an LSM memtable/compact
+    split, complementing `streaming.StreamingNoveltyIngest`
+    (foreachBatch + immediate fold) when per-microbatch build latency
+    is unwanted. Append output mode only."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("mdbloom streaming sink supports append "
+                             "output mode only")
+        self.path = options["path"]
+        self.options = dict(options)
+        self.schema = schema
+
+    def _staging(self) -> str:
+        return os.path.join(self.path, "_staging", "stream")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        batches = list(iterator)
+        if not batches:
+            return _StreamTaskCommit()
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._staging(), exist_ok=True)
+        f = os.path.join(self._staging(),
+                         f"part-{pid:05d}-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), f,
+                       compression="zstd")
+        return _StreamTaskCommit(file=f, pid=pid)
+
+    def commit(self, messages, batchId: int):
+        marker = os.path.join(self.path, "_stream_commits", str(batchId))
+        staged = [(m.pid, m.file) for m in messages
+                  if m is not None and getattr(m, "file", "")]
+        if os.path.exists(marker):  # replayed batch: drop the re-stage
+            for _, f in staged:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+            return
+        pend = _ensure_index_dir(self.path, self.options)
+        for pid, f in staged:
+            os.replace(f, os.path.join(
+                pend, f"stream-{batchId:012d}-{pid:05d}.parquet"))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            if m is not None and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except FileNotFoundError:
+                    pass
 
 
 class MdbloomDataSource(DataSource):
@@ -491,3 +586,6 @@ class MdbloomDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return MdbloomWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return MdbloomStreamWriter(self.options, schema, overwrite)

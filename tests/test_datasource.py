@@ -145,6 +145,34 @@ def test_write_sink_overwrite_append_roundtrip(spark, tmp_path):
     assert BloomIndexReader(spark, path).value_count() == len(got3)
 
 
+def test_stream_sink_ingest_then_fold(spark, tmp_path):
+    import os
+    path = str(tmp_path / "stidx")
+    src = str(tmp_path / "ssrc")
+    df = synthesize_transcripts(spark, 120, seed=21)
+    df.repartition(3).write.parquet(src)
+    q = (spark.readStream.schema(df.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.format("mdbloom").option("path", path)
+         .option("n_shards", "2").option("chunk_slots", "64")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # several microbatches promoted to pending/ — readable pre-fold
+    assert len(os.listdir(os.path.join(path, "pending"))) >= 2
+    got = spark.read.format("mdbloom").option("path", path).load() \
+        .toPandas()
+    assert _ids(got) == _ids(df.toPandas())
+    # engine open folds the whole tail into index shards
+    r = BloomIndexReader(spark, path)
+    assert os.listdir(os.path.join(path, "pending")) == []
+    assert r.value_count() == len(got)
+    toks = r.transcript_query_tokens("assistant", None, ["w00002"])
+    assert _ids(r.search(toks).toPandas()) == _ids(
+        (spark.read.format("mdbloom").option("path", path)
+         .option("tokens", ",".join(toks)).load()).toPandas())
+
+
 def test_append_to_foreign_index_rejected(spark, tmp_path):
     path = str(tmp_path / "fidx")
     df = synthesize_transcripts(spark, 100, seed=3)
