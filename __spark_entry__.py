@@ -12,13 +12,13 @@ the training-data-pipeline operators. Queries with an oracle entry produce
 doubles go through exact DECIMAL arithmetic (associative, engine-
 independent) and are cast to double only at the end; outputs involving
 genuinely float-order-sensitive math (cosine ranks) expose only rank/id
-columns. ALL 34 queries carry oracles — including the ones that look
+columns. ALL queries carry oracles — including the ones that look
 non-SQL-expressible: raw Bloom membership (q14/q24: md5 + enhanced
 double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""
+"""  # (37 queries total; the count is asserted by scripts/selfcheck.py)
 
 from __future__ import annotations
 
@@ -664,6 +664,59 @@ def q36_datasource_search(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q37_sink_write_search(spark, sf_dir):
+    """q14's raw containment semantics over an index created ENTIRELY
+    through the WRITE surfaces (spark/datasource.py sink): the even
+    doc_ids arrive via ``df.write.format("mdbloom").mode("overwrite")``,
+    an explicit distributed fold (`build.fold_pending` — the resume
+    build, only touched shards) indexes them, then the odd doc_ids are
+    sink-APPENDED and deliberately left UNFOLDED — so the read spans
+    folded shards PLUS the pending tail, which the source materializes
+    with the Spark-free hash mirrors (same `put` semantics as
+    `ContainerImpl.java:124-132`, LSM-staged). Same python/md5
+    single-shard geometry as q14/q36: the DuckDB oracle re-derives
+    every filter — stored and pending alike — from the raw documents
+    table and must reproduce the hit set bit-for-bit, designed-rate
+    false positives included. Equality proves sink + fold + tail are
+    bit-identical to a direct build."""
+    from mdbloom.spark.datasource import MdbloomDataSource, _load_cfg
+    cfg = _doc_idx_py_cfg()
+    key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"docs_sink_{key}")
+    done = os.path.join(path, "_q37_done")
+    spark.dataSource.register(MdbloomDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    fresh = not os.path.exists(done)
+    if not fresh:
+        try:
+            _load_cfg(path)  # stale cache from an older on-disk format
+        except Exception:
+            fresh = True
+    if fresh:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        from mdbloom.spark.build import fold_pending
+        docs = _t(spark, sf_dir, "documents")
+        opts = {"path": path, "n_per_record": "32", "probability": "1e-3",
+                "n_shards": "1", "chunk_slots": "4096",
+                "tag_columns": "lang,source", "text_column": "text",
+                "id_columns": "doc_id", "hash_backend": "python"}
+        w = docs.where(F.col("doc_id") % 2 == 0) \
+            .write.format("mdbloom").mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save()
+        assert fold_pending(spark, path)["folded_files"] > 0
+        docs.where(F.col("doc_id") % 2 == 1) \
+            .write.format("mdbloom").mode("append") \
+            .option("path", path).save()
+        with open(done, "w"):
+            pass
+    return (spark.read.format("mdbloom").option("path", path)
+            .option("tokens", "tok=spark,tok=window").load()
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -862,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_novelty_filter": q34_novelty_filter,
         "q35_bloom_search_slab_sql": q35_bloom_search_slab_sql,
         "q36_datasource_search": q36_datasource_search,
+        "q37_sink_write_search": q37_sink_write_search,
     }
 
 
@@ -1046,6 +1100,11 @@ def oracle_sql() -> dict[str, str]:
         # q36 = q14's raw semantics via spark.read.format("mdbloom") —
         # fourth read surface, same independently-re-derived oracle
         "q36_datasource_search": _bloom_raw_oracle_sql(
+            ["tok=spark", "tok=window"]),
+        # q37 = the same raw semantics over an index created through the
+        # WRITE sink (overwrite -> fold -> unfolded append): the oracle
+        # re-derives stored AND pending-tail filters from raw documents
+        "q37_sink_write_search": _bloom_raw_oracle_sql(
             ["tok=spark", "tok=window"]),
         "q15_bloom_exact_get": rf"""
             WITH q AS (

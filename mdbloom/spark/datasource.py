@@ -125,6 +125,41 @@ def _carry_columns(cfg) -> list:
                                    if c not in cfg.id_columns]
 
 
+def _shards_of(id0_series, n_shards: int) -> np.ndarray:
+    """``pmod(xxhash64(id0), n_shards)`` exactly as `build.filters_df`
+    assigns shards, without Spark: Spark's xxhash64 hashes a string's
+    UTF-8 bytes and an integral's fixed-width little-endian bytes
+    (both seed 42), which the local XXH64 mirror reproduces."""
+    import struct
+
+    from mdbloom.spark.jvm_hash import _signed, _xxh64
+    n = len(id0_series)
+    if n_shards == 1:
+        return np.zeros(n, dtype=np.int32)
+    kind = id0_series.dtype.kind
+    if kind == "O":
+        enc = lambda v: v.encode("utf-8")  # noqa: E731
+        vals = id0_series.to_numpy(dtype=object)
+        if n and not isinstance(vals[0], str):
+            raise ValueError(
+                "mdbloom tail read supports string/int id columns only; "
+                "fold the index first (BloomIndexReader folds on open)")
+    elif kind == "i":
+        # Spark hashes byte/short/int via hashInt (4 LE bytes) and long
+        # via hashLong (8 LE bytes)
+        fmt = "<q" if id0_series.dtype.itemsize == 8 else "<i"
+        enc = lambda v: struct.pack(fmt, int(v))  # noqa: E731
+        vals = id0_series.to_numpy()
+    else:
+        raise ValueError(
+            "mdbloom tail read supports string/int id columns only; "
+            "fold the index first (BloomIndexReader folds on open)")
+    uniq, inv = np.unique(vals, return_inverse=True)
+    sh = np.array([_signed(_xxh64(enc(v), 42)) % n_shards for v in uniq],
+                  dtype=np.int32)
+    return sh[inv]
+
+
 def _tail_storage_table(path: str, cfg):
     """Materialize the pending (unfolded) sink appends as storage-shaped
     rows ``(key, <carry>, filter, shard)`` — BIT-IDENTICAL to what the
@@ -145,21 +180,12 @@ def _tail_storage_table(path: str, cfg):
     pdf = ds.to_table(columns=need).to_pandas()
     if not len(pdf):
         return None
-    from mdbloom.spark.jvm_hash import spark_xxhash64_pair
-    id0 = pdf[cfg.id_columns[0]].to_numpy(dtype=object)
-    if not all(isinstance(v, str) for v in id0[:1]):
-        raise ValueError(
-            "mdbloom tail read needs a string first id column to mirror "
-            "the build's shard hash; fold the index first "
-            "(BloomIndexReader folds on open)")
-    uniq_ids, inv_ids = np.unique(id0, return_inverse=True)
-    shard_u = np.array([spark_xxhash64_pair(v)[0] % cfg.n_shards
-                        for v in uniq_ids], dtype=np.int32)
-    shard = shard_u[inv_ids]
+    shard = _shards_of(pdf[cfg.id_columns[0]], cfg.n_shards)
 
     if cfg.hash_backend == "jvm":
         from mdbloom.spark.build import record_tokens_pandas
-        from mdbloom.spark.jvm_hash import gate_positions_batch
+        from mdbloom.spark.jvm_hash import (gate_positions_batch,
+                                            spark_xxhash64_pair)
         # the jvm build aggregates filter words per (shard, carry) over
         # exploded token rows — records with zero tokens drop, duplicate
         # carry keys merge (build.filters_df / aggregated_filter_words)

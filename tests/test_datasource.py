@@ -173,6 +173,19 @@ def test_stream_sink_ingest_then_fold(spark, tmp_path):
          .option("tokens", ",".join(toks)).load()).toPandas())
 
 
+def test_shards_of_matches_spark(spark):
+    from mdbloom.spark.datasource import _shards_of
+    df = spark.range(0, 500).select(
+        F.col("id").alias("i64"),
+        F.col("id").cast("int").alias("i32"),
+        F.concat(F.lit("c"), F.col("id")).alias("s"))
+    for c in ("i64", "i32", "s"):
+        want = df.select(F.pmod(F.xxhash64(c), F.lit(7)).cast("int")
+                         .alias("sh")).toPandas()["sh"].to_numpy()
+        got = _shards_of(df.select(c).toPandas()[c], 7)
+        assert (want == got).all(), c
+
+
 def test_append_to_foreign_index_rejected(spark, tmp_path):
     path = str(tmp_path / "fidx")
     df = synthesize_transcripts(spark, 100, seed=3)
