@@ -160,15 +160,20 @@ def _shards_of(id0_series, n_shards: int) -> np.ndarray:
     return sh[inv]
 
 
-def _tail_storage_table(path: str, cfg):
-    """Materialize the pending (unfolded) sink appends as storage-shaped
+def _tail_storage_table(path: str, cfg, files: list | None = None):
+    """Materialize pending (unfolded) sink appends as storage-shaped
     rows ``(key, <carry>, filter, shard)`` — BIT-IDENTICAL to what the
     fold build will write, via the Spark-free mirrors: shard =
     pmod(xxhash64(id0), n_shards) (`build.filters_df`), filter/key via
-    the backend the config records. Returns a pyarrow Table or None."""
+    the backend the config records. ``files`` restricts to a subset of
+    pending files (one read task per file — tail parallelism equals
+    the writer's task count; duplicate-id rows split across files
+    would each surface until the fold merges them, which only matters
+    if the IndexConfig id-uniqueness contract is violated). Returns a
+    pyarrow Table or None."""
     import pyarrow as pa
     import pyarrow.dataset as pads
-    files = _pending_files(path)
+    files = _pending_files(path) if files is None else files
     if not files:
         return None
     ds = pads.dataset(files, format="parquet")
@@ -253,8 +258,6 @@ class MdbloomReader(DataSourceReader):
                 yield f  # unsupported -> Spark applies it
 
     # -------- planning (driver, Spark-free) --------
-    TAIL = -1  # partition value for the pending (unfolded) sink appends
-
     def partitions(self):
         import pyarrow.dataset as pads
         parts = []
@@ -280,10 +283,10 @@ class MdbloomReader(DataSourceReader):
             if self._shard_pred is not None:
                 keep &= np.isin(shards, list(self._shard_pred))
             parts = [InputPartition(int(s)) for s in shards[keep]]
-        if _pending_files(self.path):
-            # pending rows span shards and are not in the manifest —
-            # one extra partition, filtered row-wise inside _read_tail
-            parts.append(InputPartition(self.TAIL))
+        # pending rows span shards and are not in the manifest: one tail
+        # partition PER pending file (string-valued, vs int shard ids) —
+        # tail read parallelism equals the writer's task count
+        parts.extend(InputPartition(f) for f in _pending_files(self.path))
         return parts
 
     # -------- execution (executor, vectorized) --------
@@ -330,9 +333,10 @@ class MdbloomReader(DataSourceReader):
         if partition is None:  # partitions() pruned every shard
             return
         cols = [f.name for f in self.schema.fields]
-        if partition.value == self.TAIL:
+        if isinstance(partition.value, str):  # one pending tail file
             import pyarrow as pa
-            tbl = _tail_storage_table(self.path, self.cfg)
+            tbl = _tail_storage_table(self.path, self.cfg,
+                                      files=[partition.value])
             if tbl is None:
                 return
             if self._shard_pred is not None and len(tbl):

@@ -173,6 +173,32 @@ def test_stream_sink_ingest_then_fold(spark, tmp_path):
          .option("tokens", ",".join(toks)).load()).toPandas())
 
 
+def test_fold_crash_heal_no_duplicates(spark, tmp_path):
+    """A fold that dies between the copy-to-source and the pending
+    cleanup leaves the same file in both dirs; the retried fold must
+    promote identical bytes idempotently (same name, tmp+rename) and
+    end with each row indexed exactly once."""
+    import os
+    import shutil
+
+    from mdbloom.spark.build import fold_pending
+    path = str(tmp_path / "cidx")
+    df = synthesize_transcripts(spark, 80, seed=7)
+    (df.write.format("mdbloom").mode("overwrite").option("path", path)
+       .option("n_shards", "2").option("chunk_slots", "64").save())
+    pend = os.path.join(path, "pending")
+    src = os.path.join(path, "source")
+    os.makedirs(src, exist_ok=True)
+    f = sorted(os.listdir(pend))[0]
+    shutil.copyfile(os.path.join(pend, f), os.path.join(src, f))
+    stats = fold_pending(spark, path)  # the "retry"
+    assert stats["folded_files"] >= 1
+    assert os.listdir(pend) == []
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == df.count()
+    assert _ids(r.storage().toPandas()) == _ids(df.toPandas())
+
+
 def test_shards_of_matches_spark(spark):
     from mdbloom.spark.datasource import _shards_of
     df = spark.range(0, 500).select(
