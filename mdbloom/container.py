@@ -515,6 +515,198 @@ class BlockedSetIndex(BaseIndex):
         return len(self._key_slot)
 
 
+class _BloofiNode:
+    """One Bloofi tree node: ``value`` is the bitwise OR of everything
+    below it; leaves carry (key, filter) entries, inner nodes carry
+    children. Parent pointers let remove() recompute ORs bottom-up."""
+
+    __slots__ = ("value", "children", "keys", "filters", "parent", "leaf")
+
+    def __init__(self, m: int, leaf: bool):
+        self.value = B.zeros(m)
+        self.leaf = leaf
+        self.parent: Optional["_BloofiNode"] = None
+        self.children: list["_BloofiNode"] = []
+        self.keys: list[str] = []
+        self.filters: list[np.ndarray] = []
+
+    def size(self) -> int:
+        return len(self.keys) if self.leaf else len(self.children)
+
+    def recompute(self, m: int) -> None:
+        parts = self.filters if self.leaf else [c.value for c in self.children]
+        self.value = (np.bitwise_or.reduce(np.stack(parts), axis=0)
+                      if parts else B.zeros(m))
+
+
+class BloofiIndex(BaseIndex):
+    """Hierarchical Bloofi — the original B+-tree-of-filters (Crainiceanu
+    & Lemire, "Bloofi: Multidimensional Bloom filters", Information
+    Systems 54, 2015) that the reference's FlatBloofi flattens into a
+    bit-sliced array (`FlatBloofi.java:25-31` names the paper; the
+    reference ships only the flattened variant). Every inner node stores
+    the bitwise OR of its subtree, so a search descends only into
+    children whose OR contains all query bits — O(b·log_b N) probes on
+    selective queries vs Linear's O(N). Insert uses the paper's
+    least-expansion heuristic (route to the child whose OR gains the
+    fewest new bits — keeps similar filters clustered so pruning stays
+    sharp) and splits any node that exceeds ``order`` children by
+    max-Hamming seed pairing. Remove recomputes OR values bottom-up
+    along the leaf's ancestor path (ORs are not subtractable) and prunes
+    emptied nodes. The Spark engine's per-shard OR-summary manifest +
+    `prune_shards` (`spark/query.py`) is the two-level distributed
+    instance of exactly this structure."""
+
+    ORDER = 16
+
+    def __init__(self, shape: Shape, order: int | None = None):
+        super().__init__(shape)
+        self.order = order or self.ORDER
+        self._root: Optional[_BloofiNode] = None
+        self._key_leaf: dict[str, _BloofiNode] = {}
+
+    def get(self, filt):
+        key = self.create(filt)
+        return key if key in self._key_leaf else None
+
+    # -- insert ----------------------------------------------------------
+    def put(self, key, filt):
+        if key in self._key_leaf:
+            return  # content-addressed dedup, like every reference index
+        m = self.shape.m
+        if self._root is None:
+            self._root = _BloofiNode(m, leaf=True)
+        node = self._root
+        while not node.leaf:
+            node.value = B.merge_or(node.value, filt)
+            node = self._route(node, filt)
+        node.keys.append(key)
+        node.filters.append(filt.copy())
+        node.value = B.merge_or(node.value, filt)
+        self._key_leaf[key] = node
+        if node.size() > self.order:
+            self._split(node)
+
+    @staticmethod
+    def _route(node: _BloofiNode, filt: np.ndarray) -> _BloofiNode:
+        """Least-expansion child choice (Bloofi paper §3.2): the child
+        whose OR-value grows by the fewest bits when ``filt`` joins it."""
+        best, best_cost = None, None
+        for c in node.children:
+            cost = int(B.or_cardinality(c.value, filt)
+                       - B.cardinality(c.value))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = c, cost
+        return best
+
+    def _split(self, node: _BloofiNode) -> None:
+        m = self.shape.m
+        items = (list(zip(node.keys, node.filters)) if node.leaf
+                 else node.children)
+        vals = [f for _, f in items] if node.leaf else \
+               [c.value for c in items]
+        # seed pair = the two members with max symmetric difference
+        n = len(items)
+        si, sj, best = 0, 1, -1
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = int(B.xor_cardinality(vals[i], vals[j]))
+                if d > best:
+                    si, sj, best = i, j, d
+        left = _BloofiNode(m, leaf=node.leaf)
+        right = _BloofiNode(m, leaf=node.leaf)
+        for i, item in enumerate(items):
+            if i == si:
+                tgt = left
+            elif i == sj:
+                tgt = right
+            else:
+                dl = int(B.or_cardinality(vals[si], vals[i])
+                         - B.cardinality(vals[si]))
+                dr = int(B.or_cardinality(vals[sj], vals[i])
+                         - B.cardinality(vals[sj]))
+                tgt = left if dl <= dr else right
+            if node.leaf:
+                k, f = item
+                tgt.keys.append(k)
+                tgt.filters.append(f)
+                self._key_leaf[k] = tgt
+            else:
+                tgt.children.append(item)
+                item.parent = tgt
+        left.recompute(m)
+        right.recompute(m)
+        parent = node.parent
+        if parent is None:
+            parent = _BloofiNode(m, leaf=False)
+            parent.value = node.value
+            self._root = parent
+        else:
+            parent.children.remove(node)
+        for half in (left, right):
+            half.parent = parent
+            parent.children.append(half)
+        if parent.size() > self.order:
+            self._split(parent)
+
+    # -- remove ----------------------------------------------------------
+    def remove(self, key):
+        leaf = self._key_leaf.pop(key, None)
+        if leaf is None:
+            return
+        i = leaf.keys.index(key)
+        leaf.keys.pop(i)
+        leaf.filters.pop(i)
+        m = self.shape.m
+        node: Optional[_BloofiNode] = leaf
+        while node is not None:
+            parent = node.parent
+            if node.size() == 0 and parent is not None:
+                parent.children.remove(node)
+            else:
+                node.recompute(m)
+            node = parent
+        if self._root is not None and self._root.size() == 0:
+            self._root = None
+        # collapse a single-child root chain so depth tracks population
+        while (self._root is not None and not self._root.leaf
+               and len(self._root.children) == 1):
+            self._root = self._root.children[0]
+            self._root.parent = None
+
+    # -- search ----------------------------------------------------------
+    def search(self, filt):
+        out: list[str] = []
+        if self._root is None:
+            return out
+        stack = [self._root]
+        while stack:
+            node = stack.pop()
+            if not B.contains(node.value, filt):
+                continue  # whole subtree pruned
+            if node.leaf:
+                if node.keys:
+                    stacked = np.stack(node.filters)
+                    for i in K.linear_search(stacked, filt):
+                        out.append(node.keys[int(i)])
+            else:
+                stack.extend(node.children)
+        return out
+
+    def get_all(self):
+        return list(self._key_leaf)
+
+    @property
+    def filter_count(self):
+        return len(self._key_leaf)
+
+    def depth(self) -> int:
+        d, node = 0, self._root
+        while node is not None and not node.leaf:
+            d, node = d + 1, node.children[0]
+        return d
+
+
 def _trie8(shape: Shape) -> Trie4Index:
     """8-bit-chunk trie — the reference's Trie8 geometry
     (`Trie8.java:57-73`: byteTable superset expansion over 2^8 chunk
@@ -530,6 +722,7 @@ INDEX_STRATEGIES = {
     "trie4": Trie4Index,
     "trie8": _trie8,
     "blocked": BlockedSetIndex,
+    "bloofi": BloofiIndex,
 }
 
 

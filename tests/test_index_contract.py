@@ -148,3 +148,106 @@ def test_strategies_agree_on_random_population():
         vals = list(results.values())
         assert all(v == vals[0] for v in vals), f"divergence on {qbits}: " \
             f"{ {n: len(r) for n, r in results.items()} }"
+
+
+# ---------------------------------------------------------------- Bloofi
+
+def test_bloofi_splits_grow_a_real_tree():
+    """Past ``order`` entries the leaf must split and an inner level with
+    OR-values appear (Bloofi paper §3.2); search stays exact vs Linear."""
+    from mdbloom.container import BloofiIndex, LinearIndex
+
+    rng = np.random.default_rng(11)
+    bloofi = BloofiIndex(SHAPE, order=4)
+    lin = LinearIndex(SHAPE)
+    pops = [tuple(sorted(rng.choice(SHAPE.m, size=4, replace=False).tolist()))
+            for _ in range(60)]
+    for bits in pops:
+        f = filt(*bits)
+        for idx in (bloofi, lin):
+            idx.put(idx.create(f), f)
+    assert bloofi.depth() >= 2          # at least two inner levels
+    assert bloofi.filter_count == lin.filter_count
+    for _ in range(30):
+        q = filt(*rng.choice(SHAPE.m, size=rng.integers(1, 4),
+                             replace=False).tolist())
+        assert sorted(bloofi.search(q)) == sorted(lin.search(q))
+    # every node respects the order bound and parents OR their children
+    stack = [bloofi._root]
+    while stack:
+        node = stack.pop()
+        assert node.size() <= bloofi.order
+        if not node.leaf:
+            acc = np.bitwise_or.reduce(
+                np.stack([c.value for c in node.children]), axis=0)
+            assert np.array_equal(acc, node.value)
+            stack.extend(node.children)
+
+
+def test_bloofi_remove_recomputes_or_values():
+    """ORs are not subtractable: after removing the only filter holding a
+    bit, a query on that bit must return nothing (stale ancestor ORs would
+    still descend and, worse, a stale leaf OR would false-positive)."""
+    from mdbloom.container import BloofiIndex
+
+    idx = BloofiIndex(SHAPE, order=4)
+    fs = [filt(i, i + 1) for i in range(0, 40, 2)]
+    keys = []
+    for f in fs:
+        k = idx.create(f)
+        idx.put(k, f)
+        keys.append(k)
+    lone = filt(55, 56, 57)
+    lone_key = idx.create(lone)
+    idx.put(lone_key, lone)
+    assert idx.search(filt(56)) == [lone_key]
+    idx.remove(lone_key)
+    assert idx.search(filt(56)) == []
+    assert idx.get(lone) is None
+    # root OR no longer carries the removed bits anywhere in the tree
+    stack = [idx._root]
+    while stack:
+        node = stack.pop()
+        assert not B_contains_bit(node.value, 56)
+        if not node.leaf:
+            stack.extend(node.children)
+    # drain fully: tree collapses to empty, then refills cleanly
+    for k in keys:
+        idx.remove(k)
+    assert idx.filter_count == 0 and idx._root is None
+    f = filt(3, 9)
+    idx.put(idx.create(f), f)
+    assert idx.search(filt(9)) == [idx.create(f)]
+
+
+def B_contains_bit(packed, bit):
+    word, off = divmod(bit, 64)
+    return bool((int(packed[word]) >> off) & 1)
+
+
+def test_bloofi_churn_agrees_with_linear():
+    """Random interleaved put/remove churn — OR recompute + node pruning
+    must never diverge from the full-scan ground truth."""
+    from mdbloom.container import BloofiIndex, LinearIndex
+
+    rng = np.random.default_rng(23)
+    bloofi = BloofiIndex(SHAPE, order=4)
+    lin = LinearIndex(SHAPE)
+    live = []
+    for step in range(300):
+        if live and rng.random() < 0.4:
+            k, _ = live.pop(rng.integers(len(live)))
+            bloofi.remove(k)
+            lin.remove(k)
+        else:
+            f = filt(*sorted(rng.choice(
+                SHAPE.m, size=rng.integers(2, 6), replace=False).tolist()))
+            k = bloofi.create(f)
+            if all(kk != k for kk, _ in live):
+                live.append((k, f))
+            bloofi.put(k, f)
+            lin.put(k, f)
+        if step % 25 == 0:
+            q = filt(*rng.choice(SHAPE.m, size=2, replace=False).tolist())
+            assert sorted(bloofi.search(q)) == sorted(lin.search(q))
+    assert bloofi.filter_count == lin.filter_count == len(live)
