@@ -143,7 +143,7 @@ def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
     sel = list(dict.fromkeys([*key_cols, col]))
     partials = df.select(*sel).mapInPandas(partial, schema=partial_schema)
 
-    def final(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+    def final(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sk = tree_merge(list(pdf["state"]), from_bytes)
         row = dict(zip(key_cols, keys))
         row["state"] = sk.to_bytes()
@@ -208,7 +208,7 @@ def hll_by_key_sql(df: DataFrame, key_cols: list[str], col: str,
                            + ["estimate double"])
     regs_df = hll_registers_sql(df, key_cols, col, p, hash_width)
 
-    def final(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+    def final(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(1 << p, dtype=np.uint8)
         regs[pdf["idx"].to_numpy()] = pdf["rho"].to_numpy()
         row = dict(zip(key_cols, keys))
