@@ -551,9 +551,18 @@ class BloofiIndex(BaseIndex):
     least-expansion heuristic (route to the child whose OR gains the
     fewest new bits — keeps similar filters clustered so pruning stays
     sharp) and splits any node that exceeds ``order`` children by
-    max-Hamming seed pairing. Remove recomputes OR values bottom-up
-    along the leaf's ancestor path (ORs are not subtractable) and prunes
-    emptied nodes. The Spark engine's per-shard OR-summary manifest +
+    max-Hamming seed pairing with a **minimum-fill bound**: members are
+    assigned in descending preference strength and each half is capped
+    at ``n - n//2`` so both halves leave with >= n//2 members (the
+    paper's balanced split; an unbounded greedy assignment can emit a
+    1-member half and degenerate the tree into a chain). Remove
+    recomputes OR values bottom-up along the leaf's ancestor path (ORs
+    are not subtractable), prunes emptied nodes, and **splices out any
+    non-root inner node left with a single child** (child adopts the
+    grandparent) so degree-1 chains cannot accumulate under churn —
+    together these keep probe depth O(log_order N), regression-tested
+    in `test_index_contract.py::test_bloofi_depth_bounded_under_churn`.
+    The Spark engine's per-shard OR-summary manifest +
     `prune_shards` (`spark/query.py`) is the two-level distributed
     instance of exactly this structure."""
 
@@ -584,8 +593,17 @@ class BloofiIndex(BaseIndex):
         node.filters.append(filt.copy())
         node.value = B.merge_or(node.value, filt)
         self._key_leaf[key] = node
-        if node.size() > self.order:
+        if node.size() > self._capacity(node):
             self._split(node)
+
+    def _capacity(self, node: _BloofiNode) -> int:
+        """Inner nodes must split into halves of >= 2 children each (a
+        1-child half is the seed of a degenerate chain, and B+-tree
+        uniform height needs every split to yield two real nodes), so
+        an inner node's capacity is never below 3 — it splits at 4+
+        children into 2+2. Leaves honor ``order`` exactly (a 1-key leaf
+        is legal). For order >= 4 this changes nothing."""
+        return self.order if node.leaf else max(self.order, 3)
 
     @staticmethod
     def _route(node: _BloofiNode, filt: np.ndarray) -> _BloofiNode:
@@ -615,17 +633,30 @@ class BloofiIndex(BaseIndex):
                     si, sj, best = i, j, d
         left = _BloofiNode(m, leaf=node.leaf)
         right = _BloofiNode(m, leaf=node.leaf)
+        # Minimum-fill assignment: strongest preferences first, each half
+        # capped so the other receives at least n//2 members. Without the
+        # cap one seed can absorb everything and leave a 1-member half;
+        # repeated over churn that degenerates the tree into a chain.
+        cap = n - n // 2
+        prefs = []  # (strength desc, index, prefer_left)
+        for i in range(n):
+            if i in (si, sj):
+                continue
+            dl = int(B.or_cardinality(vals[si], vals[i])
+                     - B.cardinality(vals[si]))
+            dr = int(B.or_cardinality(vals[sj], vals[i])
+                     - B.cardinality(vals[sj]))
+            prefs.append((-abs(dl - dr), i, dl <= dr))
+        prefs.sort()
+        assign = {si: True, sj: False}
+        n_left, n_right = 1, 1
+        for _, i, prefer_left in prefs:
+            go_left = prefer_left if (n_left < cap and n_right < cap) \
+                else (n_left < cap)
+            assign[i] = go_left
+            n_left, n_right = n_left + go_left, n_right + (not go_left)
         for i, item in enumerate(items):
-            if i == si:
-                tgt = left
-            elif i == sj:
-                tgt = right
-            else:
-                dl = int(B.or_cardinality(vals[si], vals[i])
-                         - B.cardinality(vals[si]))
-                dr = int(B.or_cardinality(vals[sj], vals[i])
-                         - B.cardinality(vals[sj]))
-                tgt = left if dl <= dr else right
+            tgt = left if assign[i] else right
             if node.leaf:
                 k, f = item
                 tgt.keys.append(k)
@@ -646,7 +677,7 @@ class BloofiIndex(BaseIndex):
         for half in (left, right):
             half.parent = parent
             parent.children.append(half)
-        if parent.size() > self.order:
+        if parent.size() > self._capacity(parent):
             self._split(parent)
 
     # -- remove ----------------------------------------------------------
@@ -663,6 +694,16 @@ class BloofiIndex(BaseIndex):
             parent = node.parent
             if node.size() == 0 and parent is not None:
                 parent.children.remove(node)
+            elif (not node.leaf and len(node.children) == 1
+                  and parent is not None):
+                # splice a degree-1 inner node: its only child adopts the
+                # grandparent, so chains of single-child inner nodes can
+                # never accumulate (Bloofi paper delete keeps nodes >= 2
+                # children via merge/redistribute; splicing gives the
+                # same depth bound with less machinery)
+                child = node.children[0]
+                child.parent = parent
+                parent.children[parent.children.index(node)] = child
             else:
                 node.recompute(m)
             node = parent
@@ -701,10 +742,20 @@ class BloofiIndex(BaseIndex):
         return len(self._key_leaf)
 
     def depth(self) -> int:
-        d, node = 0, self._root
-        while node is not None and not node.leaf:
-            d, node = d + 1, node.children[0]
-        return d
+        """Max inner levels over all root→leaf paths. Splicing during
+        remove() can leave leaves at different depths, so the worst-case
+        probe path (what the O(log) claim bounds) is the max, not the
+        leftmost spine."""
+        if self._root is None:
+            return 0
+        best, stack = 0, [(self._root, 0)]
+        while stack:
+            node, d = stack.pop()
+            if node.leaf:
+                best = max(best, d)
+            else:
+                stack.extend((c, d + 1) for c in node.children)
+        return best
 
 
 def _trie8(shape: Shape) -> Trie4Index:

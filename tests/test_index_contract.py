@@ -251,3 +251,57 @@ def test_bloofi_churn_agrees_with_linear():
             q = filt(*rng.choice(SHAPE.m, size=2, replace=False).tolist())
             assert sorted(bloofi.search(q)) == sorted(lin.search(q))
     assert bloofi.filter_count == lin.filter_count == len(live)
+
+
+def test_bloofi_depth_bounded_under_churn():
+    """Regression for the r3 ADVICE structural defect: with order=2 and
+    3000 interleaved put/remove steps the old greedy split (no minimum
+    fill) plus empty-only pruning accumulated degree-1 inner chains —
+    measured depth 56 for 257 live filters. Min-fill splits + degree-1
+    splicing must keep worst-case probe depth O(log_order N)."""
+    import math
+
+    from mdbloom.container import BloofiIndex, LinearIndex
+
+    rng = np.random.default_rng(7)
+    bloofi = BloofiIndex(SHAPE, order=2)
+    lin = LinearIndex(SHAPE)
+    live = []
+    for step in range(3000):
+        if live and rng.random() < 0.45:
+            k, _ = live.pop(rng.integers(len(live)))
+            bloofi.remove(k)
+            lin.remove(k)
+        else:
+            f = filt(*sorted(rng.choice(
+                SHAPE.m, size=rng.integers(2, 6), replace=False).tolist()))
+            k = bloofi.create(f)
+            if all(kk != k for kk, _ in live):
+                live.append((k, f))
+            bloofi.put(k, f)
+            lin.put(k, f)
+    n = bloofi.filter_count
+    assert n == lin.filter_count == len(live) and n >= 100
+    bound = 3 * math.log(n, max(bloofi.order, 2)) + 2
+    assert bloofi.depth() <= bound, (bloofi.depth(), n, bound)
+    # structure invariants survive churn: order bound + parent ORs exact,
+    # and no non-root inner node is left with a single child
+    stack = [bloofi._root]
+    while stack:
+        node = stack.pop()
+        if node.leaf:
+            assert node.size() <= bloofi.order
+        else:
+            # inner capacity is max(order, 3): splits must yield two
+            # halves of >= 2 children each (see BloofiIndex._capacity)
+            assert 2 <= node.size() <= max(bloofi.order, 3) \
+                or node is bloofi._root
+            acc = np.bitwise_or.reduce(
+                np.stack([c.value for c in node.children]), axis=0)
+            assert np.array_equal(acc, node.value)
+            stack.extend(node.children)
+    # search stays exact vs the full-scan ground truth
+    for _ in range(25):
+        q = filt(*rng.choice(SHAPE.m, size=rng.integers(1, 4),
+                             replace=False).tolist())
+        assert sorted(bloofi.search(q)) == sorted(lin.search(q))
