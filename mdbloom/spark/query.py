@@ -124,6 +124,29 @@ def _hex_keys(blob: bytes | None) -> np.ndarray:
 
 
 class BloomIndexReader:
+    """Query surface over a built index dir (see `build.BloomIndexWriter`).
+
+    Three physical containment-search strategies answer the same
+    semantics bit-identically (contract-tested, including which Bloom
+    false positives leak through). **Strategy selection:**
+
+    * :meth:`search_many` (NumPy slab, default) — interactive batches.
+      Arrow-batched bit-sliced kernel, lowest per-query constant at any
+      batch width; bounded by aggregate DRAM bandwidth.
+    * :meth:`search_linear_many` — tiny populations (≲10⁵ filters) or
+      one-off queries: O(rows·k) JVM scan, no slab artifacts touched,
+      cheapest plan to analyze.
+    * :meth:`search_slab_sql_many` — JVM-only insurance path for
+      clusters where Python workers/Arrow transfer are the bottleneck
+      (measured 0.86-0.90 N→4N scaling, BENCH.md): same O(k·N/64)
+      kernel evaluated as SQL higher-order functions. Pays a per-batch
+      plan-analysis constant (~2s cold for a 20-query literal), so
+      prefer it for broad/steady batches, not single interactive
+      queries.
+
+    `search_rows` / `search_verified*` take ``via=`` to pick one
+    explicitly; the default is the NumPy slab everywhere."""
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -778,13 +801,20 @@ class BloomIndexReader:
         Rows beyond ``n_slots`` can never emit: build never sets their
         bits, and a query with no bits never reaches this path
         (match-all is answered from the slotmap, as in
-        search_keys_many)."""
-        # CAST to int: `div` yields BIGINT, which would poison sequence()
-        # elements and element_at() indices downstream
-        W = f"CAST(size(slab) div {m} AS int)"
+        search_keys_many).
+
+        Two constant-shaves (r3 review): the words-per-row ``W`` is a
+        precomputed per-row column (``__W``, added by the callers) — the
+        old inline ``CAST(size(slab) div m AS int)`` re-evaluated its
+        expression tree for every (plan, word, bit) element_at index,
+        i.e. O(Q·k·W) times per chunk row — and the per-word AND
+        short-circuits once the accumulator hits 0 (most (plan, word)
+        pairs miss after 2-3 bits; skipping the remaining element_ats
+        avoids the index arithmetic + array probe for dead words)."""
+        W = "__W"
         words = (f"transform(sequence(0, {W} - 1), j -> "
                  f"aggregate({bs}, -1L, (a, b) -> "
-                 f"a & element_at(slab, b * {W} + j + 1)))")
+                 f"if(a = 0, 0L, a & element_at(slab, b * {W} + j + 1))))")
         # zero-word guard: most (plan, chunk) pairs miss, and without the
         # if() the expansion would run 64 bit-test lambdas per word even
         # when the AND already produced 0 — measured ~2x the whole
@@ -815,7 +845,11 @@ class BloomIndexReader:
         work. This path keeps the slab's O(k·N/64) word-AND complexity —
         64× less compute than linear — AND stays on the JVM (no Arrow
         transfer of slab bytes to Python at all), so it inherits the
-        codegen path's measured 0.67-0.90 scaling. Per-query driver-side
+        JVM paths' measured 0.67-0.90 scaling. (Higher-order-function
+        lambdas evaluate *interpreted* on the JVM — tight and scalable,
+        but NOT whole-stage codegen; only plain expression pipelines
+        like the linear scan's element_at conjunction get codegen'd.)
+        Per-query driver-side
         gate pruning is identical to the other strategies: each plan
         carries its shard set and the scan is restricted to the union.
 
@@ -848,7 +882,13 @@ class BloomIndexReader:
                 .select("query", "shard", "slot", "key"))
         if not plans:
             return all_part
-        slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
+        slabs = (self.slabs()
+                 .where(F.col("shard").isin(sorted(all_shards)))
+                 # per-row words-per-bit-row, hoisted for _slab_hits_sql;
+                 # CAST to int: `div` yields BIGINT, which would poison
+                 # sequence() elements and element_at() indices
+                 .withColumn("__W",
+                             F.expr(f"CAST(size(slab) div {m} AS int)")))
         n_bits = sum(len(bs) for _, bs, _ in plans)
         if n_bits > SQL_LITERAL_MAX_PREDS:
             # plans-as-data broadcast join: O(1) plan size at any Q
@@ -935,9 +975,10 @@ class BloomIndexReader:
         one verification pass for the whole batch).
 
         Verification is data-driven and all-JVM: a broadcast (query ->
-        spec) table joins onto the candidate rows, and one codegen
+        spec) table joins onto the candidate rows, and one JVM-side
         predicate re-checks every tag equality plus a higher-order
-        ``forall`` token containment — no per-query plan nodes, so the
+        ``forall`` token containment (HOF lambdas run interpreted, not
+        codegen — still zero Python) — no per-query plan nodes, so the
         verified path scales to broad batches exactly like
         :meth:`search_many`."""
         cfg = self.cfg

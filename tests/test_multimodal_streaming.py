@@ -259,3 +259,28 @@ def test_novelty_ingest_idempotent_across_partial_failure(spark, tmp_path,
     ingest._on_batch(more, 1)
     assert spark.read.parquet(sink).count() == 31
     assert BloomIndexReader(spark, idx).value_count() == 31
+
+
+def test_byte_quantiles_bit_equal_to_np_quantile():
+    """The vectorized histogram quantile (one bincount, no Python loop)
+    must reproduce per-payload np.quantile bit-for-bit — including empty
+    segments (NaN), single-byte segments, and interpolated positions on
+    both sides of numpy's t >= 0.5 lerp switch."""
+    import numpy as np
+
+    from mdbloom.spark.multimodal import _byte_quantiles
+
+    rng = np.random.default_rng(3)
+    q_grid = np.linspace(0, 1, 6)
+    payloads = [rng.integers(0, 256, size=n).astype(np.uint8)
+                for n in [0, 1, 2, 3, 7, 100, 1000, 65537]]
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    concat = (np.concatenate([p for p in payloads if p.size])
+              if lens.sum() else np.zeros(0, dtype=np.uint8))
+    got = _byte_quantiles(concat, lens, q_grid)
+    for i, p in enumerate(payloads):
+        if p.size == 0:
+            assert np.isnan(got[i]).all()
+        else:
+            want = np.quantile(p, q_grid)
+            assert np.array_equal(got[i], want), (i, got[i], want)
