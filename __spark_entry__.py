@@ -717,6 +717,37 @@ def q37_sink_write_search(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q38_storage_spi_memory(spark, sf_dir):
+    """q13's verified-search semantics with the value multimap living in
+    the MEMORY storage backend (mdbloom/spark/storage.py — the
+    reference's pluggable `Storage<E,I>`/`Serde<E>` SPI,
+    `Container.java:171-221` / `IgniteStorage.java:48-101` /
+    `Serde.java:20-24`): every payload row round-trips driver-resident
+    KV + JsonSerde instead of parquet, the shared index artifacts
+    (slabs, gate, manifest) stay on disk, and the result must equal the
+    same ANSI-SQL oracle as q13 — storage placement cannot change query
+    answers. The memory store dies with the process, so the build's
+    storage-existence guard (`StorageBackend.exists`) forces a fresh
+    rebuild here rather than resuming onto missing values."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=8,
+                      chunk_slots=4096, tag_columns=("lang", "source"),
+                      text_column="text", id_columns=("doc_id",),
+                      payload_columns=("lang", "source"),
+                      storage_backend="memory")
+    key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"docs_idx_mem_{key}")
+    docs = _t(spark, sf_dir, "documents")
+    BloomIndexWriter(spark, cfg).build(docs, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    toks = ["lang=es", "tok=spark", "tok=window"]
+    return (r.search_verified(toks, docs)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -916,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_bloom_search_slab_sql": q35_bloom_search_slab_sql,
         "q36_datasource_search": q36_datasource_search,
         "q37_sink_write_search": q37_sink_write_search,
+        "q38_storage_spi_memory": q38_storage_spi_memory,
     }
 
 
@@ -1329,6 +1361,16 @@ def oracle_sql() -> dict[str, str]:
         # q35 = q13's semantics via the all-JVM bit-sliced slab kernel
         # -> identical oracle (THREE physical paths, one ANSI-SQL truth)
         "q35_bloom_search_slab_sql": rf"""
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'es'
+              AND list_contains({_WORDS}, 'spark')
+              AND list_contains({_WORDS}, 'window')
+            ORDER BY doc_id
+        """,
+        # q38 = q13's semantics with the value multimap in the MEMORY
+        # storage backend (Storage/Serde SPI) -> identical oracle:
+        # storage placement must not change answers
+        "q38_storage_spi_memory": rf"""
             SELECT doc_id, lang FROM documents
             WHERE lang = 'es'
               AND list_contains({_WORDS}, 'spark')

@@ -128,6 +128,14 @@ class IndexConfig:
     # two produce different (both valid) bit layouts; the backend is
     # recorded in config.json and the reader hashes accordingly.
     hash_backend: str = "jvm"
+    # where the value multimap lives (mdbloom.spark.storage SPI — the
+    # reference's Storage<E,I>/Serde plug point, `Container.java:171-221`,
+    # `IgniteStorage.java:48-101`): "parquet" (default, lake-native) or
+    # "memory" (driver-resident KV + Serde, reference InMemory semantics),
+    # or any name registered via register_storage_backend(). Recorded in
+    # config.json; the df.write.format("mdbloom") data source requires
+    # "parquet" (its pushdown reads the parquet files directly).
+    storage_backend: str = "parquet"
     shape: Shape = field(init=False)
     gate_shape: Shape = field(init=False)
 
@@ -160,6 +168,7 @@ class IndexConfig:
             "id_columns": list(self.id_columns),
             "payload_columns": list(self.payload_columns),
             "hash_backend": self.hash_backend,
+            "storage_backend": self.storage_backend,
             "shape": self.shape.to_dict(),
         })
 
@@ -175,7 +184,8 @@ class IndexConfig:
             text_column=d["text_column"],
             id_columns=tuple(d["id_columns"]),
             payload_columns=tuple(d.get("payload_columns", ())),
-            hash_backend=d.get("hash_backend", "python"))
+            hash_backend=d.get("hash_backend", "python"),
+            storage_backend=d.get("storage_backend", "parquet"))
         return cfg
 
 
@@ -226,6 +236,13 @@ class BloomIndexWriter:
     def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
         self.spark = spark
         self.cfg = cfg or IndexConfig()
+
+    def _storage(self):
+        """The value-storage backend (mdbloom.spark.storage SPI) this
+        config names — resolved late so backends registered after writer
+        construction are honored."""
+        from mdbloom.spark.storage import storage_backend
+        return storage_backend(self.cfg.storage_backend)
 
     # ---------------- hash pass ----------------
     def filters_df(self, df: DataFrame) -> DataFrame:
@@ -529,14 +546,20 @@ class BloomIndexWriter:
             with open(cfg_path) as f:
                 if f.read() != self.cfg.to_json():
                     resume = False
+        if resume and not self._storage().exists(path):
+            # fingerprints/manifest may match on disk while the VALUES are
+            # gone (a driver-resident memory store in a new process):
+            # resuming would skip rebuilds onto missing storage — rebuild
+            resume = False
         if not resume:
             # clean slate: partition-overwrite only replaces partitions
             # PRESENT in the new build, so shards absent from it (and any
             # old tombstones) would survive as ghosts — storage()/slotmap/
             # empty-query search read the whole directory
             import shutil
-            for sub in ("storage", "slabs", "tombstones", "manifest"):
+            for sub in ("slabs", "tombstones", "manifest"):
                 shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+            self._storage().clear(path)
         if resume and os.path.exists(manifest_path):
             # eager: immune to the manifest tmp+rename rewrites below
             old_manifest = spark.read.parquet(manifest_path) \
@@ -556,10 +579,10 @@ class BloomIndexWriter:
             if removed_shards:
                 import shutil
                 for s in removed_shards:
-                    for sub in ("storage", "slabs"):
-                        shutil.rmtree(
-                            os.path.join(path, sub, f"shard={s}"),
-                            ignore_errors=True)
+                    shutil.rmtree(
+                        os.path.join(path, "slabs", f"shard={s}"),
+                        ignore_errors=True)
+                self._storage().drop_shards(path, removed_shards)
                 old_manifest = old_manifest.where(
                     ~F.col("shard").isin(removed_shards))
         build_shards = sorted(set(fp_pdf["shard"]) - set(skip_shards))
@@ -589,27 +612,22 @@ class BloomIndexWriter:
             f = f.repartition(cfg.n_shards, "shard")
         storage_cols = list(cfg.id_columns) + [
             c for c in cfg.payload_columns if c not in cfg.id_columns]
-        # parquet bloom filter on the content key: exact-get (key
-        # equality) prunes row groups without reading them — the
-        # file-format face of the reference's O(1) content-addressed get
-        # dynamic partition overwrite as a PER-WRITE option (not a session
-        # conf mutation, which would silently change the semantics of the
-        # caller's own later partitioned overwrites): only the partitions
-        # present in this build are replaced, which is exactly what resume
-        # needs — and safe, because the clean-slate / removed-shards logic
-        # above already deleted every partition this build won't rewrite
-        (f.select("shard", "key", *storage_cols, "filter")
-         .write.mode("overwrite").partitionBy("shard")
-         .option("partitionOverwriteMode", "dynamic")
-         .option("parquet.bloom.filter.enabled#key", "true")
-         .parquet(os.path.join(path, "storage")))
+        # storage goes through the pluggable backend (mdbloom.spark.
+        # storage SPI). The write contract is shards-present-only
+        # replacement (dynamic partition overwrite), which is exactly
+        # what resume needs — safe because the clean-slate /
+        # removed-shards logic above already dropped every shard this
+        # build won't rewrite. The default parquet backend also sets the
+        # content-key bloom filter (exact-get prunes row groups unread).
+        self._storage().write(
+            f.select("shard", "key", *storage_cols, "filter"), path)
         _mark("hash_storage_write")
 
         # slabs build FROM the written storage parquet: the table is
         # partitioned by shard on disk, so this is a narrow partition-
         # local read (zero exchange, zero cache) into the buffered
         # per-task chunk builder
-        stored = (spark.read.parquet(os.path.join(path, "storage"))
+        stored = (self._storage().read(spark, path)
                   .where(F.col("shard").isin(build_shards))
                   .select("shard", "key", "filter"))
         (stored.mapInPandas(self._slab_mapper(), schema=SLAB_SCHEMA)
@@ -625,7 +643,7 @@ class BloomIndexWriter:
             # violating the unique-id contract (IndexConfig.id_columns)
             # silently merge — surface it (ADVICE r1). Column-pruned
             # metadata-cheap count over the written table.
-            n_stored = (spark.read.parquet(os.path.join(path, "storage"))
+            n_stored = (self._storage().read(spark, path)
                         .where(F.col("shard").isin(build_shards)).count())
             if n_stored != n_rows:
                 import warnings

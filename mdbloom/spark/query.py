@@ -216,8 +216,9 @@ class BloomIndexReader:
         search soundness holds. ``keep_filter`` retains the stored
         filter-words column (used by :meth:`search_linear`)."""
         if self._storage_base is None:
-            self._storage_base = self.spark.read.parquet(
-                os.path.join(self.path, "storage"))
+            from mdbloom.spark.storage import storage_backend
+            self._storage_base = storage_backend(
+                self.cfg.storage_backend).read(self.spark, self.path)
         df = self._storage_base
         if "filter" in df.columns and not keep_filter:
             df = df.drop("filter")  # at-rest column for slab build / I1
