@@ -32,23 +32,87 @@ class StreamingSketch:
         ...
         acc.sketch.estimate()
 
-    Exactly-once note: merges are idempotent for Bloom/HLL (OR/max), so
-    microbatch replays are harmless there; for CMS/KLL/t-digest a replayed
-    batch double-counts — production use should persist (batch_id, state)
-    and skip seen ids, which is the standard foreachBatch idempotency
-    recipe. Kept minimal here.
+    Exactly-once: merges are idempotent for Bloom/HLL (OR/max), so
+    microbatch replays are harmless there even without bookkeeping; for
+    CMS/KLL/t-digest a replayed batch would double-count. Passing
+    ``ledger_path`` turns on the standard foreachBatch idempotency
+    recipe — a (batch_id, state) ledger:
+
+    * after merging batch ``b``, the RUNNING state is written to
+      ``ledger_path/batch_<b>.bin`` via tmp+atomic-rename, and the
+      in-memory sketch only advances with the ledger (merge happens on a
+      copy, swapped in after the write) — a crash mid-write leaves both
+      at the pre-batch state;
+    * a batch with ``batch_id <= last ledgered id`` is a no-op (Spark
+      replays at-least-once the most recent uncommitted batch, always
+      with the SAME batch_id — that is the contract this keys on);
+    * construction with an existing ledger resumes from the latest
+      state, so restart + replay double-counts nothing.
+
+    Without ``ledger_path`` the accumulator is at-least-once (fine for
+    the idempotent sketches).
     """
 
-    def __init__(self, factory: Callable, from_bytes: Callable, col: str):
+    def __init__(self, factory: Callable, from_bytes: Callable, col: str,
+                 ledger_path: str | None = None):
         self.factory = factory
         self.from_bytes = from_bytes
         self.col = col
         self.sketch = factory()
         self.batches_seen = 0
+        self.batches_replayed = 0
+        self.ledger_path = ledger_path
+        self.last_batch_id = -1
+        if ledger_path:
+            latest = self._ledger_latest()
+            if latest is not None:
+                self.last_batch_id, state_bytes = latest
+                self.sketch = from_bytes(state_bytes)
+
+    def _ledger_latest(self):
+        import os
+        if not os.path.isdir(self.ledger_path):
+            return None
+        ids = [int(f[len("batch_"):-len(".bin")])
+               for f in os.listdir(self.ledger_path)
+               if f.startswith("batch_") and f.endswith(".bin")]
+        if not ids:
+            return None
+        bid = max(ids)
+        with open(os.path.join(self.ledger_path,
+                               f"batch_{bid}.bin"), "rb") as f:
+            return bid, f.read()
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int):
+        import os
+        if self.ledger_path is not None and batch_id <= self.last_batch_id:
+            # exactly-once: this batch's rows are already IN the ledgered
+            # state — the replay is a no-op
+            self.batches_seen += 1
+            self.batches_replayed += 1
+            return
         part = sketch_all(batch_df, self.col, self.factory, self.from_bytes)
-        self.sketch.merge(part)
+        if self.ledger_path is None:
+            self.sketch.merge(part)
+        else:
+            # transactional advance: merge a COPY, ledger it, then swap —
+            # if the write throws, self.sketch still matches the ledger
+            nxt = self.from_bytes(self.sketch.to_bytes())
+            nxt.merge(part)
+            os.makedirs(self.ledger_path, exist_ok=True)
+            final = os.path.join(self.ledger_path, f"batch_{batch_id}.bin")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(nxt.to_bytes())
+            os.replace(tmp, final)
+            # the ledger only ever needs the LATEST state (replays carry
+            # the same id as the batch they replay, never an older one)
+            for f in os.listdir(self.ledger_path):
+                if (f.startswith("batch_") and f.endswith(".bin")
+                        and f != f"batch_{batch_id}.bin"):
+                    os.unlink(os.path.join(self.ledger_path, f))
+            self.sketch = nxt
+            self.last_batch_id = batch_id
         self.batches_seen += 1
 
     def start(self, stream_df: DataFrame, trigger_once: bool = True):

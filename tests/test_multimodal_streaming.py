@@ -284,3 +284,53 @@ def test_byte_quantiles_bit_equal_to_np_quantile():
         else:
             want = np.quantile(p, q_grid)
             assert np.array_equal(got[i], want), (i, got[i], want)
+
+
+def test_streaming_sketch_ledger_exactly_once(spark, tmp_path):
+    """The (batch_id, state) ledger closes the non-idempotent-sketch gap:
+    a replayed microbatch (same batch_id — Spark's at-least-once replay
+    contract) must not double-count a CMS, and a RESTARTED accumulator
+    must resume the ledgered state and still no-op the replay."""
+    from mdbloom.sketches.cms import CountMinSketch
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = events.select("user_id").toPandas()
+    ids = pdf["user_id"].to_numpy()
+    hot = pdf["user_id"].mode()[0]
+    truth = int((ids == hot).sum())
+
+    def hits(sk):
+        return int(sk.query(np.array([hot]))[0])
+
+    ledger = str(tmp_path / "ledger")
+    mk = lambda: CountMinSketch(depth=5, width=2048)
+    acc = StreamingSketch(mk, CountMinSketch.from_bytes, col="user_id",
+                          ledger_path=ledger)
+    b0, b1 = events.where(F.col("event_id") % 2 == 0), \
+        events.where(F.col("event_id") % 2 == 1)
+    acc._on_batch(b0, 0)
+    acc._on_batch(b1, 1)
+    assert hits(acc.sketch) >= truth  # CMS overestimates only
+    exact_once = hits(acc.sketch)
+    # replay of the last batch: a no-op, not a double-count
+    acc._on_batch(b1, 1)
+    assert hits(acc.sketch) == exact_once
+    assert acc.batches_replayed == 1
+    # restart: a fresh accumulator resumes the ledgered state, and the
+    # replayed batch is STILL a no-op across the restart boundary
+    acc2 = StreamingSketch(mk, CountMinSketch.from_bytes, col="user_id",
+                           ledger_path=ledger)
+    assert acc2.last_batch_id == 1
+    assert hits(acc2.sketch) == exact_once
+    acc2._on_batch(b1, 1)
+    assert hits(acc2.sketch) == exact_once
+    # ...while a genuinely NEW batch still advances the total
+    acc2._on_batch(b1.limit(50), 2)
+    assert acc2.sketch.total > acc.sketch.total
+    # without a ledger the same replay WOULD double-count (the documented
+    # at-least-once default for non-idempotent sketches)
+    plain = StreamingSketch(mk, CountMinSketch.from_bytes, col="user_id")
+    plain._on_batch(b1, 1)
+    one_total = plain.sketch.total
+    plain._on_batch(b1, 1)
+    assert plain.sketch.total == 2 * one_total  # counts doubled
