@@ -748,6 +748,23 @@ def q38_storage_spi_memory(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q39_bitexact_get(spark, sf_dir):
+    """q15's exact-get semantics decided PHYSICALLY on the stored bits —
+    no content key anywhere: the slab kernel narrows candidates by the
+    set-bit rows and one popcount equality stands in for the unset-bit
+    walk (`FlatBloofi.java:114-150`; the linear word-compare variant
+    `Linear.java:116-122` is contract-tested bit-identical in pytest).
+    Same ANSI-SQL oracle as q15: physical get strategy cannot change
+    answers."""
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    row = docs.where(F.col("doc_id") == 0).head()
+    toks = [f"lang={row.lang}", f"source={row.source}"] + \
+        [f"tok={w}" for w in row.text.split()]
+    return (r.get_bitexact(toks, via="slab")
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -948,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_datasource_search": q36_datasource_search,
         "q37_sink_write_search": q37_sink_write_search,
         "q38_storage_spi_memory": q38_storage_spi_memory,
+        "q39_bitexact_get": q39_bitexact_get,
     }
 
 
@@ -1139,6 +1157,21 @@ def oracle_sql() -> dict[str, str]:
         "q37_sink_write_search": _bloom_raw_oracle_sql(
             ["tok=spark", "tok=window"]),
         "q15_bloom_exact_get": rf"""
+            WITH q AS (
+                SELECT lang, source,
+                       list_sort(list_distinct({_WORDS})) AS ws
+                FROM documents WHERE doc_id = 0)
+            SELECT d.doc_id
+            FROM documents d, q
+            WHERE d.lang = q.lang AND d.source = q.source
+              AND list_sort(list_distinct(regexp_split_to_array(
+                      trim(d.text), '\s+'))) = q.ws
+            ORDER BY d.doc_id
+        """,
+        # q39 = q15's exact-get semantics via the PHYSICAL bit-compare
+        # path (slab narrowing + popcount equality, no content key) ->
+        # identical oracle: get strategy cannot change answers
+        "q39_bitexact_get": rf"""
             WITH q AS (
                 SELECT lang, source,
                        list_sort(list_distinct({_WORDS})) AS ws

@@ -137,8 +137,16 @@ class LinearIndex(BaseIndex):
         self._filters: dict[str, np.ndarray] = {}
 
     def get(self, filt):
-        key = self.create(filt)
-        return key if key in self._filters else None
+        """PHYSICAL exact get: word-compare scan over the stored filters
+        (`Linear.java:116-122` compares whole filters, not keys) — one
+        vectorized equality over the stacked population. Content keys
+        play no part here; equality is on the bits themselves."""
+        if not self._filters:
+            return None
+        keys = list(self._filters)
+        stacked = np.stack([self._filters[k] for k in keys])
+        eq = np.flatnonzero(np.all(stacked == filt, axis=1))
+        return keys[int(eq[0])] if eq.size else None
 
     def put(self, key, filt):
         self._filters[key] = filt.copy()

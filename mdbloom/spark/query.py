@@ -1053,6 +1053,53 @@ class BloomIndexReader:
         return self.storage().where(
             F.col("shard").isin(shards) & (F.col("key") == key))
 
+    def get_bitexact(self, tokens, via: str = "linear") -> DataFrame:
+        """PHYSICAL exact-get variants — equality decided on the stored
+        BITS, no content key anywhere (parity with the reference's
+        per-index physical gets; the default :meth:`get` stays
+        content-addressed, the I6 semantics every reference test uses):
+
+        * ``via="linear"``: word-compare scan (`Linear.java:116-122`
+          compares whole stored filters) — ONE codegen conjunction of
+          all W word equalities (zero words included) over the pruned
+          shards' storage rows.
+        * ``via="slab"``: bit-sliced candidate narrowing
+          (`FlatBloofi.java:114-150` walks all m bit-columns): the slab
+          kernel ANDs the k set-bit rows into candidate slots, and the
+          reference's unset-bit pass collapses to ONE popcount equality
+          — a containment superset with the query's cardinality IS the
+          query — so the m-k zero rows never need touching.
+
+        Same rows as :meth:`get` (tombstone-aware storage view),
+        asserted bit-identical in tests. An empty query filter falls
+        back to the word-compare (all words zero) under either
+        ``via``."""
+        m = self.shape.m
+        if self._jvm_hasher is not None:
+            qbits = self._jvm_hasher.positions(list(tokens), self.shape)
+        else:
+            qbits = np.flatnonzero(B.unpack(
+                self._cache.filter_for(list(tokens)), m)).astype(np.int64)
+        shards = self.prune_shards(qbits, tokens)
+        if not shards:
+            return self.storage().where(F.lit(False))
+        if via == "slab" and qbits.size:
+            keys = (self.search_keys(tokens).select("shard", "key")
+                    .where(F.col("shard").isin(shards)))
+            cand = (self.storage(keep_filter=True)
+                    .join(keys, ["shard", "key"], "left_semi"))
+            popcnt = F.aggregate(
+                "filter", F.lit(0).cast("long"),
+                lambda a, w: a + F.bit_count(w))
+            return cand.where(popcnt == int(qbits.size)).drop("filter")
+        qwords = B.from_bits(qbits, m).view(np.int64)
+        cond = F.col("shard").isin(shards)
+        for i in range(len(qwords)):
+            cond = cond & (F.element_at("filter", i + 1)
+                           == F.lit(int(qwords[i])))
+        return (self.storage(keep_filter=True)
+                .where(cond).drop("filter"))
+
     def get_many(self, queries: dict) -> DataFrame:
         """Batched exact (bit-for-bit) get: ``{name: [tokens...]}`` ->
         (query, <storage rows>) for every query in ONE storage scan

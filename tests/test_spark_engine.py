@@ -344,3 +344,32 @@ def test_rebalance_input_guard(spark, tmp_path):
     sdf = (spark.readStream.format("rate").option("rowsPerSecond", 1)
            .load())
     assert rebalance_input(sdf) is sdf
+
+
+def test_get_bitexact_variants_match_content_key_get(
+        spark, built_index, transcripts_pdf):
+    """Physical exact-get parity (`Linear.java:116-122` word-compare,
+    `FlatBloofi.java:114-150` bit-sliced narrowing): both variants must
+    return EXACTLY the rows the content-addressed get returns — on a
+    full-token-set hit, on a subset (miss: unset bits differ), and on a
+    superset (miss: extra bits)."""
+    r = BloomIndexReader(spark, built_index)
+    row = transcripts_pdf.iloc[17]
+    toks = r.transcript_query_tokens(
+        row["role"], None if pd.isna(row["tool"]) or row["tool"] == "none"
+        else row["tool"], row["text"].split())
+
+    def ids(df):
+        return sorted(map(tuple, df.select("conv_id", "turn_idx")
+                          .toPandas().itertuples(index=False)))
+
+    want = ids(r.get(toks))
+    assert (row["conv_id"], row["turn_idx"]) in set(want)
+    for via in ("linear", "slab"):
+        assert ids(r.get_bitexact(toks, via=via)) == want, via
+        # subset of dimensions: containment would hit, EXACT must miss
+        assert ids(r.get_bitexact(toks[:1], via=via)) \
+            == ids(r.get(toks[:1])), via
+        # superset: extra token's bits make equality impossible
+        sup = list(toks) + ["tok=zzunstoredzz"]
+        assert ids(r.get_bitexact(sup, via=via)) == [], via
