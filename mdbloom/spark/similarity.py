@@ -2,7 +2,9 @@
 
 Two paths, per the standard large-corpus playbook:
   * **brute force** — exact cosine top-k, JVM-side only (zip_with +
-    aggregate fold, whole-stage codegen); the correctness baseline and
+    aggregate fold — higher-order functions evaluate interpreted on the
+    JVM, not whole-stage codegen, but zero Python); the correctness
+    baseline and
     perfectly adequate when the probe count is small (one scan per probe
     batch, no shuffle except the top-k);
   * **LSH-bucketed** — random-hyperplane signatures (Charikar 2002) built
