@@ -14,9 +14,14 @@ window where (a)/(c) scale well, any engine stage that streams memory
 HOST's aggregate DRAM bandwidth, not by the plan shape — the evidence
 BASELINE.md's protocol calls for when no healthy window can be caught.
 
-Usage: python scripts/scaling_evidence.py [N] [n_turns]
+Usage: python scripts/scaling_evidence.py [N] [n_turns] [reps]
 Writes a JSON report to stdout; append the table to BENCH.md by hand or
 via scripts/scaling_bench.py for full end-to-end pairs.
+
+reps (default 3) interleaves every measurement low/high within each rep
+(r3 advice: single-rep cross-level efficiencies are weak evidence on a
+host with episodic bandwidth collapse); efficiencies are computed from
+each level's BEST rep and the per-rep lists are reported alongside.
 """
 from __future__ import annotations
 
@@ -32,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_LOW = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_TURNS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+N_REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 N_HIGH = N_LOW * 4
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -111,43 +117,76 @@ def canary_ms() -> float:
 
 
 def main():
-    report: dict = {"n_low": N_LOW, "n_high": N_HIGH,
-                    "canary_start_ms": round(canary_ms(), 1)}
-
-    # (a) pure-CPU parallel ceiling
-    cpu_lo = parallel_throughput(CPU_CHILD, N_LOW)
-    cpu_hi = parallel_throughput(CPU_CHILD, N_HIGH)
-    report["cpu_parallel_eff"] = round((cpu_hi / cpu_lo) / 4, 3)
-
-    # (b) parallel-DRAM ceiling (the slab kernels' access pattern)
-    dram_lo = parallel_throughput(DRAM_CHILD, N_LOW)
-    dram_hi = parallel_throughput(DRAM_CHILD, N_HIGH)
-    report["dram_parallel_eff"] = round((dram_hi / dram_lo) / 4, 3)
-
-    # (c) register-only Spark codegen job
-    sc_lo = spark_cpu(N_LOW)
-    sc_hi = spark_cpu(N_HIGH)
-    report["spark_codegen_eff"] = round((sc_lo / sc_hi) / 4, 3)
-    report["spark_codegen_sec"] = {N_LOW: round(sc_lo, 1),
-                                   N_HIGH: round(sc_hi, 1)}
-
-    # (d) engine build stages at both levels (reuses profile_stages)
     from scripts.profile_stages import WORKER, treatment_env
-    stages = {}
-    for cores in (N_LOW, N_HIGH):
+
+    report: dict = {"n_low": N_LOW, "n_high": N_HIGH, "reps": N_REPS,
+                    "canary_start_ms": round(canary_ms(), 1)}
+    cpu = {N_LOW: [], N_HIGH: []}      # throughputs (higher better)
+    dram = {N_LOW: [], N_HIGH: []}     # throughputs
+    sc = {N_LOW: [], N_HIGH: []}       # seconds (lower better)
+    stages: dict[int, list[dict]] = {N_LOW: [], N_HIGH: []}
+    canaries = []
+
+    def stage_run(cores: int) -> dict:
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
              WORKER, str(cores), str(N_TURNS)],
             capture_output=True, text=True, env=treatment_env(), cwd=REPO)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
-                stages[cores] = json.loads(line[len("RESULT "):])["stages"]
-    report["stage_sec"] = stages
-    if len(stages) == 2:
-        report["stage_eff"] = {
-            k: round((stages[N_LOW][k] / stages[N_HIGH][k]) / 4, 2)
-            for k in stages[N_LOW] if stages[N_HIGH].get(k)}
+                return json.loads(line[len("RESULT "):])["stages"]
+        raise RuntimeError(out.stderr[-2000:])
 
+    for rep in range(N_REPS):
+        # every measurement interleaves low/high INSIDE the rep, so a
+        # window shift mid-protocol degrades a pair, not one level
+        for k in (N_LOW, N_HIGH):
+            cpu[k].append(parallel_throughput(CPU_CHILD, k))
+        for k in (N_LOW, N_HIGH):
+            dram[k].append(parallel_throughput(DRAM_CHILD, k))
+        for k in (N_LOW, N_HIGH):
+            sc[k].append(spark_cpu(k))
+        for k in (N_LOW, N_HIGH):
+            stages[k].append(stage_run(k))
+        canaries.append(round(canary_ms(), 1))
+        print(f"# rep {rep}: cpu {cpu[N_LOW][-1]:.2f}/{cpu[N_HIGH][-1]:.2f}"
+              f" dram {dram[N_LOW][-1]:.2f}/{dram[N_HIGH][-1]:.2f}"
+              f" spark {sc[N_LOW][-1]:.1f}s/{sc[N_HIGH][-1]:.1f}s"
+              f" canary {canaries[-1]}ms", file=sys.stderr, flush=True)
+
+    # (a) pure-CPU parallel ceiling — best throughput per level
+    report["cpu_parallel_eff"] = round(
+        (max(cpu[N_HIGH]) / max(cpu[N_LOW])) / 4, 3)
+    report["cpu_parallel_eff_all"] = [
+        round((h / l) / 4, 3) for l, h in zip(cpu[N_LOW], cpu[N_HIGH])]
+
+    # (b) parallel-DRAM ceiling (the slab kernels' access pattern)
+    report["dram_parallel_eff"] = round(
+        (max(dram[N_HIGH]) / max(dram[N_LOW])) / 4, 3)
+    report["dram_parallel_eff_all"] = [
+        round((h / l) / 4, 3) for l, h in zip(dram[N_LOW], dram[N_HIGH])]
+
+    # (c) register-only Spark codegen job — best (min) seconds per level
+    report["spark_codegen_eff"] = round(
+        (min(sc[N_LOW]) / min(sc[N_HIGH])) / 4, 3)
+    report["spark_codegen_eff_all"] = [
+        round((l / h) / 4, 3) for l, h in zip(sc[N_LOW], sc[N_HIGH])]
+    report["spark_codegen_sec"] = {
+        N_LOW: [round(x, 1) for x in sc[N_LOW]],
+        N_HIGH: [round(x, 1) for x in sc[N_HIGH]]}
+
+    # (d) engine build stages at both levels (reuses profile_stages)
+    best = {k: {s: min(r[s] for r in reps_ if r.get(s))
+                for s in reps_[0] if all(r.get(s) for r in reps_)}
+            for k, reps_ in stages.items() if reps_}
+    report["stage_sec"] = best
+    report["stage_sec_all"] = stages
+    if len(best) == 2:
+        report["stage_eff"] = {
+            k: round((best[N_LOW][k] / best[N_HIGH][k]) / 4, 2)
+            for k in best[N_LOW] if best[N_HIGH].get(k)}
+
+    report["canaries_ms"] = canaries
     report["canary_end_ms"] = round(canary_ms(), 1)
     print(json.dumps(report, indent=2))
 
