@@ -97,3 +97,30 @@ def test_ewah_binops_match_dense(n_words, data):
     assert np.array_equal((ea ^ eb).to_dense(), a ^ b)
     assert np.array_equal(ea.to_dense(), a)  # round-trip
     assert ea.cardinality() == int(B.popcount64(a).sum())
+
+
+# ---------------- storage SPI serde law ----------------
+
+_scalars = st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.binary(max_size=32),
+    st.datetimes(min_value=__import__("datetime").datetime(1970, 1, 1),
+                 max_value=__import__("datetime").datetime(2100, 1, 1)),
+    st.dates(),
+)
+
+
+@given(st.dictionaries(
+    st.text(min_size=1, max_size=20), _scalars, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_json_serde_round_trip_law(payload):
+    """Serde law (`Serde.java:20-24`): deserialize(serialize(E)) == E for
+    every payload dict of Spark scalar types — the property the storage
+    SPI's KV backends depend on for value fidelity."""
+    from mdbloom.spark.storage import JsonSerde
+    s = JsonSerde()
+    assert s.deserialize(s.serialize(payload)) == payload
