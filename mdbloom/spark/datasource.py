@@ -88,7 +88,17 @@ def _load_cfg(path: str):
         raise ValueError(
             f"index at {path} has on-disk format v{ver}; this source "
             f"requires v{IndexConfig.FORMAT_VERSION} — rebuild the index")
-    return IndexConfig.from_json(raw)
+    cfg = IndexConfig.from_json(raw)
+    if cfg.storage_backend != "parquet":
+        # this source's readers/sink stream the storage PARQUET files
+        # directly (pyarrow dataset + pending tail) — a KV-backed value
+        # store has no files to stream; fail with the remedy instead of
+        # an obscure missing-directory error mid-scan
+        raise ValueError(
+            f"index at {path} uses storage_backend="
+            f"{cfg.storage_backend!r}; the mdbloom data source supports "
+            "only 'parquet' storage — query via BloomIndexReader instead")
+    return cfg
 
 
 def _planner(cfg):

@@ -166,3 +166,20 @@ def test_custom_backend_registration(spark, small_df, tmp_path):
     r = BloomIndexReader(spark, p)
     assert r.storage().count() == n and calls["de"] >= n
     assert isinstance(storage_backend("kv-test"), StorageBackend)
+
+
+def test_datasource_rejects_kv_backed_index(spark, small_df, tmp_path):
+    """spark.read.format('mdbloom') streams the storage PARQUET files
+    directly, so a KV-backed index must be rejected with the remedy, not
+    fail mid-scan on a missing directory."""
+    from mdbloom.spark.datasource import MdbloomDataSource, _load_cfg
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=2,
+                      chunk_slots=256, storage_backend="memory")
+    p = str(tmp_path / "idx")
+    BloomIndexWriter(spark, cfg).build(small_df, p)
+    spark.dataSource.register(MdbloomDataSource)
+    with pytest.raises(Exception, match="only 'parquet' storage"):
+        _load_cfg(p)
+    with pytest.raises(Exception, match="only 'parquet' storage"):
+        (spark.read.format("mdbloom").option("path", p).load()
+         .limit(1).collect())
