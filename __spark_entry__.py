@@ -765,6 +765,20 @@ def q39_bitexact_get(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q40_container_counts(spark, sf_dir):
+    """C5 getValueCount / C6 getFilterCount under an ANSI-SQL oracle
+    (COVERAGE rows previously evidence-by-pytest only): value_count =
+    live stored values (`ContainerImpl.java:96-99`), filter_count =
+    GLOBALLY distinct live filters (`FlatBloofi.java:153-154` dedup).
+    Content addressing makes filter_count SQL-expressible: distinct
+    filters == distinct (lang, source, sorted distinct word set) —
+    the same canonicalization q15 exploits for exact-get."""
+    r = _doc_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(r.value_count()), int(r.filter_count()))],
+        "value_count long, filter_count long")
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -966,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_sink_write_search": q37_sink_write_search,
         "q38_storage_spi_memory": q38_storage_spi_memory,
         "q39_bitexact_get": q39_bitexact_get,
+        "q40_container_counts": q40_container_counts,
     }
 
 
@@ -1182,6 +1197,15 @@ def oracle_sql() -> dict[str, str]:
               AND list_sort(list_distinct(regexp_split_to_array(
                       trim(d.text), '\s+'))) = q.ws
             ORDER BY d.doc_id
+        """,
+        # q40: value_count = live rows; filter_count = distinct
+        # content-addressed filters = distinct canonical token sets
+        "q40_container_counts": rf"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS value_count,
+                   CAST(COUNT(DISTINCT lang || '|' || source || '|' ||
+                        array_to_string(list_sort(list_distinct({_WORDS})),
+                                        ' ')) AS BIGINT) AS filter_count
+            FROM documents
         """,
         # q16 at bands=num_perm has recall 1 (up to 2^-64 per pair) and
         # precision 1 (exact verify) -> its output IS the exact-Jaccard
