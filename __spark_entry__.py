@@ -779,6 +779,27 @@ def q40_container_counts(spark, sf_dir):
         "value_count long, filter_count long")
 
 
+def q41_shape_math(spark, sf_dir):
+    """C7 getShape under an ANSI-SQL oracle: the (n, p) -> (m, k) Shape
+    derivation (`shape.py`, reproducing the commons-collections Shape
+    contract `ContainerImpl.java:87-94`) recomputed independently in
+    DuckDB from the published formulas — m = ceil(n ln p / -(ln 2)^2),
+    k = round((m/n) ln 2). Rows: both reference test shapes
+    (`IndexTest.java:47` -> 58/13, `ContainerImplTest.java:42` -> 94/22)
+    plus the engine's doc-index and flagship-transcript geometries. All
+    four shapes sit >= 0.04 away from ceil/round boundaries, so libm
+    ulp differences cannot flip a value."""
+    from mdbloom.shape import Shape
+
+    rows = []
+    for n, p in ((3, 1e-4), (3, 1.0 / 3000000), (32, 1e-3), (40, 1e-3)):
+        sh = Shape.from_np(n, p)
+        rows.append((n, sh.m, sh.k, sh.words))
+    return (spark.createDataFrame(
+        rows, "n int, m int, k int, words int")
+        .orderBy("n", "m"))
+
+
 def q28_cosine_near_dups(spark, sf_dir):
     """Embedding near-duplicate PAIRS (cosine >= 0.9): LSH bucket
     equi-join candidates across tables, exact cosine verify — precision
@@ -981,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_storage_spi_memory": q38_storage_spi_memory,
         "q39_bitexact_get": q39_bitexact_get,
         "q40_container_counts": q40_container_counts,
+        "q41_shape_math": q41_shape_math,
     }
 
 
@@ -1206,6 +1228,20 @@ def oracle_sql() -> dict[str, str]:
                         array_to_string(list_sort(list_distinct({_WORDS})),
                                         ' ')) AS BIGINT) AS filter_count
             FROM documents
+        """,
+        # q41: Shape (n,p)->(m,k) recomputed from the published formulas
+        "q41_shape_math": """
+            WITH s(n, p) AS (VALUES (3, 1e-4), (3, 1.0/3000000),
+                             (32, 1e-3), (40, 1e-3)),
+            c AS (SELECT n,
+                         CAST(ceil(n * ln(p) / -(ln(2)*ln(2))) AS INT)
+                             AS m
+                  FROM s)
+            SELECT n, m,
+                   CAST(round((CAST(m AS DOUBLE) / n) * ln(2), 0) AS INT)
+                       AS k,
+                   CAST(floor((m + 63) / 64.0) AS INT) AS words
+            FROM c ORDER BY n, m
         """,
         # q16 at bands=num_perm has recall 1 (up to 2^-64 per pair) and
         # precision 1 (exact verify) -> its output IS the exact-Jaccard
