@@ -147,11 +147,14 @@ class IndexConfig:
     # keys_blob in slabs, key-carrying tombstones; r2.1: storage filter
     # stored as array<bigint> words enabling the all-JVM linear scan;
     # v5: slab words as array<bigint> enabling the all-JVM bit-sliced
-    # slab scan, search_keys_slab_sql_many).
+    # slab scan, search_keys_slab_sql_many;
+    # v6: pluggable storage backend — config.json gains storage_backend
+    # and the storage/ parquet dir is OPTIONAL (KV backends keep values
+    # off-disk), which a pre-SPI reader would misread as a broken index.
     # build(resume=True) compares the FULL config.json — a version bump
     # therefore forces a clean rebuild instead of mixing old/new-schema
     # shard files (ADVICE r1: mixed-schema slabs dir after a change).
-    FORMAT_VERSION = 5
+    FORMAT_VERSION = 6
 
     def to_json(self) -> str:
         import json
@@ -559,6 +562,21 @@ class BloomIndexWriter:
             import shutil
             for sub in ("slabs", "tombstones", "manifest"):
                 shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+            # clear the OLD config's backend too: rebuilding the same
+            # path under a different storage_backend must not strand the
+            # previous backend's rows (ghost parquet dir / leaked
+            # in-memory store — r4 review finding)
+            if os.path.exists(cfg_path):
+                from mdbloom.spark.storage import STORAGE_BACKENDS
+                try:
+                    with open(cfg_path) as f:
+                        old_name = IndexConfig.from_json(
+                            f.read()).storage_backend
+                except Exception:
+                    old_name = None
+                if old_name and old_name != cfg.storage_backend \
+                        and old_name in STORAGE_BACKENDS:
+                    STORAGE_BACKENDS[old_name].clear(path)
             self._storage().clear(path)
         if resume and os.path.exists(manifest_path):
             # eager: immune to the manifest tmp+rename rewrites below

@@ -60,35 +60,53 @@ class Serde(ABC):
 
 class JsonSerde(Serde):
     """Default Serde: JSON with type-faithful markers for the non-JSON
-    Spark scalar types (timestamp/date -> ISO strings, binary -> base64),
-    so a deserialized payload reconstructs the exact DataFrame row."""
+    Spark types (timestamp/date -> ISO strings, binary -> base64, nested
+    maps/arrays tagged), so a deserialized payload reconstructs the exact
+    DataFrame row. Non-JSON-native values are wrapped in EXPLICIT
+    ``[tag, value]`` pairs and decoded by recursion — not a json
+    object_hook — so no user key or value that merely LOOKS like a
+    marker can collide with the encoding (r4 review finding)."""
 
     @staticmethod
     def _enc(v):
+        if v is None or isinstance(v, (str, int, float, bool)):
+            return v
         if isinstance(v, datetime.datetime):
-            return {"__dt__": v.isoformat()}
+            return ["dt", v.isoformat()]
         if isinstance(v, datetime.date):
-            return {"__d__": v.isoformat()}
+            return ["d", v.isoformat()]
         if isinstance(v, (bytes, bytearray)):
-            return {"__b64__": base64.b64encode(bytes(v)).decode()}
+            return ["b64", base64.b64encode(bytes(v)).decode()]
+        if isinstance(v, dict):
+            return ["m", {k: JsonSerde._enc(x) for k, x in v.items()}]
+        if isinstance(v, (list, tuple)):
+            return ["l", [JsonSerde._enc(x) for x in v]]
         raise TypeError(f"JsonSerde cannot serialize {type(v).__name__}")
 
     @staticmethod
-    def _dec(d):
-        if "__dt__" in d:
-            return datetime.datetime.fromisoformat(d["__dt__"])
-        if "__d__" in d:
-            return datetime.date.fromisoformat(d["__d__"])
-        if "__b64__" in d:
-            return base64.b64decode(d["__b64__"])
-        return d
+    def _dec(v):
+        if isinstance(v, list):
+            tag, x = v
+            if tag == "dt":
+                return datetime.datetime.fromisoformat(x)
+            if tag == "d":
+                return datetime.date.fromisoformat(x)
+            if tag == "b64":
+                return base64.b64decode(x)
+            if tag == "m":
+                return {k: JsonSerde._dec(y) for k, y in x.items()}
+            if tag == "l":
+                return [JsonSerde._dec(y) for y in x]
+            raise ValueError(f"unknown JsonSerde tag {tag!r}")
+        return v
 
     def serialize(self, payload: dict) -> bytes:
-        return json.dumps(payload, sort_keys=True,
-                          default=self._enc).encode()
+        return json.dumps({k: self._enc(v) for k, v in payload.items()},
+                          sort_keys=True).encode()
 
     def deserialize(self, data: bytes) -> dict:
-        return json.loads(data.decode(), object_hook=self._dec)
+        return {k: self._dec(v)
+                for k, v in json.loads(data.decode()).items()}
 
 
 # ---------------------------------------------------------- backend SPI

@@ -47,7 +47,12 @@ class StreamingSketch:
       replays at-least-once the most recent uncommitted batch, always
       with the SAME batch_id — that is the contract this keys on);
     * construction with an existing ledger resumes from the latest
-      state, so restart + replay double-counts nothing.
+      state, so restart + replay double-counts nothing — PROVIDED the
+      query checkpoints: :meth:`start` requires ``checkpoint_dir``
+      whenever a ledger is configured, because batch ids only stay
+      stable across restarts under a streaming checkpoint (an
+      uncheckpointed restart renumbers from 0 and the guard would
+      drop real batches as replays).
 
     Without ``ledger_path`` the accumulator is at-least-once (fine for
     the idempotent sketches).
@@ -106,18 +111,35 @@ class StreamingSketch:
                 f.write(nxt.to_bytes())
             os.replace(tmp, final)
             # the ledger only ever needs the LATEST state (replays carry
-            # the same id as the batch they replay, never an older one)
+            # the same id as the batch they replay, never an older one);
+            # also sweep any .tmp orphaned by a crash mid-write
             for f in os.listdir(self.ledger_path):
-                if (f.startswith("batch_") and f.endswith(".bin")
-                        and f != f"batch_{batch_id}.bin"):
+                if f == f"batch_{batch_id}.bin":
+                    continue
+                if (f.startswith("batch_")
+                        and (f.endswith(".bin") or f.endswith(".tmp"))):
                     os.unlink(os.path.join(self.ledger_path, f))
             self.sketch = nxt
             self.last_batch_id = batch_id
         self.batches_seen += 1
 
-    def start(self, stream_df: DataFrame, trigger_once: bool = True):
+    def start(self, stream_df: DataFrame, trigger_once: bool = True,
+              checkpoint_dir: str | None = None):
+        """Start the accumulation query. With ``ledger_path`` set,
+        ``checkpoint_dir`` is REQUIRED: the ledger keys exactly-once on
+        Spark's batch ids, and those are only stable across restarts
+        when the query itself checkpoints — an uncheckpointed restart
+        renumbers batches from 0, which the ledger guard would silently
+        treat as replays and drop."""
+        if self.ledger_path is not None and checkpoint_dir is None:
+            raise ValueError(
+                "StreamingSketch(ledger_path=...) needs checkpoint_dir: "
+                "batch ids restart at 0 without a streaming checkpoint, "
+                "and the exactly-once ledger keys on them")
         writer = stream_df.writeStream.foreachBatch(self._on_batch) \
             .outputMode("update")
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()

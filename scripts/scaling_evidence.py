@@ -176,9 +176,15 @@ def main():
         N_HIGH: [round(x, 1) for x in sc[N_HIGH]]}
 
     # (d) engine build stages at both levels (reuses profile_stages)
-    best = {k: {s: min(r[s] for r in reps_ if r.get(s))
-                for s in reps_[0] if all(r.get(s) for r in reps_)}
-            for k, reps_ in stages.items() if reps_}
+    # presence-checked (not truthiness): a stage measured at 0.0 s, or
+    # absent from rep 0 only, must not silently vanish from the report
+    best = {}
+    for k, reps_ in stages.items():
+        if not reps_:
+            continue
+        names = sorted({s for r in reps_ for s in r})
+        best[k] = {s: min(r[s] for r in reps_ if s in r)
+                   for s in names}
     report["stage_sec"] = best
     report["stage_sec_all"] = stages
     if len(best) == 2:

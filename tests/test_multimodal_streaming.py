@@ -334,3 +334,45 @@ def test_streaming_sketch_ledger_exactly_once(spark, tmp_path):
     one_total = plain.sketch.total
     plain._on_batch(b1, 1)
     assert plain.sketch.total == 2 * one_total  # counts doubled
+
+
+def test_ledger_requires_checkpoint_and_survives_query_restart(
+        spark, tmp_path):
+    """r4 review finding: batch ids only stay stable under a streaming
+    checkpoint, so start() must refuse a ledger without one — and with
+    one, a stopped-and-restarted query over NEW input must extend the
+    ledgered state exactly once (ids continue past the ledgered id
+    instead of restarting at 0 and being dropped as replays)."""
+    from mdbloom.sketches.cms import CountMinSketch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = events.schema
+    first = events.where(F.col("event_id") % 2 == 0)
+    first.write.mode("overwrite").parquet(src)
+
+    mk = lambda: CountMinSketch(depth=5, width=2048)
+    acc = StreamingSketch(mk, CountMinSketch.from_bytes, col="user_id",
+                          ledger_path=ledger)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        acc.start(spark.readStream.schema(schema).parquet(src))
+    q = acc.start(spark.readStream.schema(schema).parquet(src),
+                  checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    total_first = acc.sketch.total
+    assert total_first == first.count() and acc.last_batch_id >= 0
+
+    # new files arrive; a FRESH accumulator restarts the query from the
+    # same checkpoint — batch ids continue, only the new rows merge
+    second = events.where(F.col("event_id") % 2 == 1)
+    second.write.mode("append").parquet(src)
+    acc2 = StreamingSketch(mk, CountMinSketch.from_bytes, col="user_id",
+                           ledger_path=ledger)
+    assert acc2.sketch.total == total_first  # resumed ledgered state
+    q2 = acc2.start(spark.readStream.schema(schema).parquet(src),
+                    checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert acc2.sketch.total == events.count()  # each row exactly once
+    assert acc2.last_batch_id > acc.last_batch_id

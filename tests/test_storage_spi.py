@@ -55,6 +55,22 @@ def test_json_serde_round_trips_spark_scalars():
         "ts": datetime.datetime(2026, 8, 18, 12, 0, 0, 123456),
         "d": datetime.date(2026, 8, 18),
         "blob": b"\x00\xffbytes",
+        # nested map/array payloads (Spark MapType/ArrayType values)
+        "m": {"a": 1, "ts": datetime.datetime(2026, 1, 1)},
+        "arr": [1, "two", b"\x03"],
+    }
+    assert s.deserialize(s.serialize(payload)) == payload
+
+
+def test_json_serde_marker_lookalikes_cannot_collide():
+    """r4 review finding: user keys/values that LOOK like encoding
+    markers must round-trip verbatim — the tagged encoding leaves no
+    dict shape for a user value to collide with."""
+    s = JsonSerde()
+    payload = {
+        "__b64__": "not really bytes",
+        "__dt__": "2026-01-01T00:00:00",
+        "m": {"__d__": "x", "__b64__": 5},
     }
     assert s.deserialize(s.serialize(payload)) == payload
 
@@ -183,3 +199,28 @@ def test_datasource_rejects_kv_backed_index(spark, small_df, tmp_path):
     with pytest.raises(Exception, match="only 'parquet' storage"):
         (spark.read.format("mdbloom").option("path", p).load()
          .limit(1).collect())
+
+
+def test_backend_switch_clears_old_backend(spark, small_df, n_rows,
+                                           tmp_path):
+    """r4 review finding: rebuilding the same path under a DIFFERENT
+    storage_backend must clear the previous backend's rows — a ghost
+    storage/ parquet dir (or a leaked in-memory store) would otherwise
+    shadow or strand data."""
+    import os
+
+    from mdbloom.spark.storage import _MEMORY_STORES
+    p = str(tmp_path / "idx")
+    parquet_cfg = IndexConfig(n_per_record=40, probability=1e-3,
+                              n_shards=4, chunk_slots=256)
+    BloomIndexWriter(spark, parquet_cfg).build(small_df, p)
+    assert os.path.isdir(os.path.join(p, "storage"))
+    mem_cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
+                          chunk_slots=256, storage_backend="memory")
+    BloomIndexWriter(spark, mem_cfg).build(small_df, p)
+    assert not os.path.exists(os.path.join(p, "storage"))  # ghost gone
+    assert BloomIndexReader(spark, p).storage().count() == n_rows
+    # and back: the in-memory store is dropped when parquet takes over
+    BloomIndexWriter(spark, parquet_cfg).build(small_df, p)
+    assert os.path.abspath(p) not in _MEMORY_STORES
+    assert BloomIndexReader(spark, p).storage().count() == n_rows
