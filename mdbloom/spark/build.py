@@ -584,8 +584,17 @@ class BloomIndexWriter:
                 .localCheckpoint(eager=True)
             old_fp = old_manifest.select("shard", "n_turns",
                                          "fingerprint").toPandas()
+            # compact_artifacts leaves a NULL fingerprint on rebuilt
+            # shards (their contents match no source) — those must never
+            # skip; dropping them FIRST also keeps the merge dtype int64
+            # (a NaN would float-upcast the column, and float64 has only
+            # a 53-bit mantissa for 64-bit fingerprints)
+            fp_known = old_fp.dropna(subset=["fingerprint"]).copy()
+            fp_known["fingerprint"] = fp_known["fingerprint"] \
+                .astype("int64")
             matched = fp_pdf.merge(
-                old_fp, on=["shard", "n_turns", "fingerprint"], how="inner")
+                fp_known, on=["shard", "n_turns", "fingerprint"],
+                how="inner")
             skip_shards = [int(s) for s in matched["shard"]]
             # shards in the index with ZERO surviving input rows (e.g. a
             # fully tombstoned shard being compacted) have no fingerprint
@@ -793,8 +802,8 @@ class BloomIndexWriter:
         """Fold tombstones in: rebuild from the surviving source rows via
         the normal resume path. Only shards whose input fingerprint changed
         (i.e. shards containing deletes) are rebuilt — everything else is
-        skipped — then the tombstone table is dropped. Slabs need the
-        original tokens, hence the source table parameter."""
+        skipped — then the tombstone table is dropped. Requires the source
+        table; :meth:`compact_artifacts` compacts without it."""
         import shutil
         spark = self.spark
         cfg = self.cfg
@@ -807,6 +816,113 @@ class BloomIndexWriter:
         stats = self.build(alive, path, resume=True)
         shutil.rmtree(tomb, ignore_errors=True)
         return stats
+
+    def compact_artifacts(self, path: str) -> dict:
+        """Fold tombstones in WITHOUT the source table (VERDICT r3 item
+        2): at 100 TB the source may be cold or gone, and the storage
+        rows already carry everything the slabs need (content key +
+        filter words). Touches ONLY the shards that appear in the
+        tombstone log:
+
+        * live rows = storage minus tombstones (exactly the reader's
+          tombstone-aware view), materialized BEFORE the rewrite;
+        * storage partitions for dirty shards rewritten to the live rows
+          (dynamic partition overwrite — untouched shards keep their
+          files byte-for-byte);
+        * slabs for the surviving dirty shards rebuilt from the rewritten
+          storage via the same ``_slab_mapper`` the build uses (narrow,
+          partition-local — zero exchange);
+        * manifest rows for dirty shards refreshed: summary / n_slots /
+          n_chunks recomputed from the new slabs, ``n_turns`` = live row
+          count, ``fingerprint`` set NULL — a compacted shard's contents
+          no longer correspond to ANY source fingerprint, so the next
+          source-level ``build(resume=True)`` correctly rebuilds it
+          rather than skipping; ``token_gate`` is carried over unchanged
+          (a plain Bloom gate cannot forget members — the old gate stays
+          a sound SUPERSET: it may under-prune the compacted shard,
+          never miss a live match; the reference's counting gate shrinks
+          on remove, `ContainerImpl.java:147-151`, which a source-level
+          :meth:`compact` restores here);
+        * shards whose every row died are dropped entirely (storage
+          partition, slab dir, manifest row);
+        * the tombstone log is deleted last.
+
+        Readers opened before compaction hold a pinned slab/storage
+        snapshot (see BloomIndexReader) — open a fresh reader after."""
+        import shutil
+        spark = self.spark
+        cfg = self.cfg
+        t0 = time.monotonic()
+        tomb = os.path.join(path, "tombstones")
+        if not os.path.exists(tomb):
+            return {"built": 0, "skipped": cfg.n_shards, "removed": 0,
+                    "rows": 0, "sec": 0}
+        ids = list(cfg.id_columns)
+        dead = (spark.read.parquet(tomb)
+                .select("shard", "key", *ids)
+                .dropDuplicates(["shard", "key", *ids])
+                .localCheckpoint(eager=True))
+        dirty = sorted(r[0] for r in
+                       dead.select("shard").distinct().collect())
+        if not dirty:
+            shutil.rmtree(tomb, ignore_errors=True)
+            return {"built": 0, "skipped": cfg.n_shards, "removed": 0,
+                    "rows": 0, "sec": time.monotonic() - t0}
+        backend = self._storage()
+        # live view of the dirty shards, pinned in executor storage
+        # BEFORE the partition overwrite below rewrites the files the
+        # plan would otherwise re-read mid-write. Bounded by the dirty
+        # shards' data, not the index (deletes are sparse by use case).
+        live = (backend.read(spark, path)
+                .where(F.col("shard").isin(dirty))
+                .join(dead, ["shard", "key", *ids], "left_anti")
+                .localCheckpoint(eager=True))
+        counts = {int(r["shard"]): int(r["n"]) for r in
+                  live.groupBy("shard").agg(F.count("*").alias("n"))
+                  .collect()}
+        shards_live = sorted(counts)
+        shards_gone = sorted(set(dirty) - set(shards_live))
+        if shards_live:
+            backend.write(live, path)
+            stored = (backend.read(spark, path)
+                      .where(F.col("shard").isin(shards_live))
+                      .select("shard", "key", "filter"))
+            (stored.mapInPandas(self._slab_mapper(), schema=SLAB_SCHEMA)
+             .write.mode("overwrite").partitionBy("shard")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(os.path.join(path, "slabs")))
+        if shards_gone:
+            backend.drop_shards(path, shards_gone)
+            for s in shards_gone:
+                shutil.rmtree(os.path.join(path, "slabs", f"shard={s}"),
+                              ignore_errors=True)
+        manifest_path = os.path.join(path, "manifest")
+        old_manifest = spark.read.parquet(manifest_path) \
+            .localCheckpoint(eager=True)
+        keep = old_manifest.where(~F.col("shard").isin(dirty))
+        if shards_live:
+            counts_df = spark.createDataFrame(
+                sorted(counts.items()), "shard int, n_turns long")
+            fresh = (spark.read.parquet(os.path.join(path, "slabs"))
+                     .where(F.col("shard").isin(shards_live))
+                     .groupBy("shard")
+                     .applyInPandas(self._manifest_udf(),
+                                    schema=MANIFEST_SCHEMA)
+                     .join(counts_df, "shard")
+                     .withColumn("fingerprint",
+                                 F.lit(None).cast("long"))
+                     .join(old_manifest.select("shard", "token_gate",
+                                               "n_tokens"),
+                           "shard", "left"))
+            manifest_all = keep.unionByName(fresh)
+        else:
+            manifest_all = keep
+        self._write_manifest(manifest_all, manifest_path)
+        shutil.rmtree(tomb, ignore_errors=True)
+        return {"built": len(shards_live), "removed": len(shards_gone),
+                "skipped": cfg.n_shards - len(dirty),
+                "rows": int(sum(counts.values())),
+                "sec": time.monotonic() - t0}
 
 
 # paths currently being folded by THIS process — fold_pending() runs a

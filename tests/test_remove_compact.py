@@ -69,6 +69,91 @@ def test_remove_hides_rows_and_compact_rebuilds(setup):
     assert a == b
 
 
+def test_compact_artifacts_no_source(setup):
+    """Artifact-only compaction (VERDICT r3 item 2): fold tombstones
+    using ONLY the index's own artifacts — storage rows carry the filter
+    words the slab rebuild needs, so no source table is required."""
+    import os
+    spark, df, w, path = setup
+    r = BloomIndexReader(spark, path)
+    total = r.value_count()
+    victims = df.where(F.col("role") == "system").select("conv_id",
+                                                         "turn_idx")
+    n_dead = victims.count()
+    assert w.remove(victims, path) == n_dead
+
+    r2 = BloomIndexReader(spark, path)
+    q = r2.transcript_query_tokens("assistant", None, ["w00001"])
+    def ids(hits):
+        return set(map(tuple, hits.select("conv_id", "turn_idx")
+                       .toPandas().itertuples(index=False)))
+    before = ids(r2.search(q))
+    all_before = ids(r2.search([]))
+
+    slots_before = r2.slot_count()
+    stats = w.compact_artifacts(path)
+    assert stats["built"] >= 1
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+
+    r3 = BloomIndexReader(spark, path)
+    assert r3.value_count() == total - n_dead
+    assert r3.storage().count() == total - n_dead
+    # live results bit-identical across the compaction
+    assert ids(r3.search(q)) == before
+    assert ids(r3.search([])) == all_before
+    # physical slots for tombstoned keys are actually gone (every
+    # victim key was unique enough that SOME slots must drop), and the
+    # slab invariant slots >= live distinct filters still holds
+    assert r3.slot_count() < slots_before
+    assert r3.slot_count() >= r3.filter_count()
+    # compacted shards carry a NULL fingerprint: no source corresponds
+    man = r3.manifest()
+    assert man["fingerprint"].isna().sum() == stats["built"]
+
+    # idempotent: no tombstones -> no-op
+    again = w.compact_artifacts(path)
+    assert again["built"] == 0 and again["removed"] == 0
+
+    # a later SOURCE-level resume rebuilds exactly the compacted shards
+    # (null fingerprint never matches) and restores real fingerprints
+    alive_src = df.join(victims, ["conv_id", "turn_idx"], "left_anti")
+    st2 = w.build(alive_src, path, resume=True)
+    assert st2["built"] == stats["built"]
+    r4 = BloomIndexReader(spark, path)
+    assert r4.value_count() == total - n_dead
+    assert ids(r4.search(q)) == before
+    assert r4.manifest()["fingerprint"].notna().all()
+
+
+def test_compact_artifacts_drops_emptied_shard(setup):
+    """A shard whose every row is tombstoned disappears entirely:
+    storage partition, slab dir and manifest row (the distributed
+    analogue of `ContainerImpl.java:147-151` index cleanup)."""
+    import os
+    spark, df, w, path = setup
+    shard_col = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(4)).cast("int")
+    victims = (df.withColumn("shard", shard_col)
+               .where(F.col("shard") == 0)
+               .select("conv_id", "turn_idx"))
+    n_dead = victims.count()
+    assert n_dead > 0
+    total = BloomIndexReader(spark, path).value_count()
+    w.remove(victims, path)
+
+    stats = w.compact_artifacts(path)
+    assert stats["removed"] == 1 and stats["built"] == 0
+    assert not os.path.isdir(os.path.join(path, "slabs", "shard=0"))
+    assert not os.path.isdir(os.path.join(path, "storage", "shard=0"))
+
+    r = BloomIndexReader(spark, path)
+    man = r.manifest()
+    assert 0 not in set(man["shard"])
+    assert r.value_count() == total - n_dead
+    assert r.storage().count() == total - n_dead
+    assert r.storage().where(
+        F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0).count() == 0
+
+
 def _doc_frame(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, lang string, "
                                        "text string")
