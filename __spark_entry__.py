@@ -18,7 +18,7 @@ double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""  # (37 queries total; the count is asserted by scripts/selfcheck.py)
+"""  # (42 queries total; the count is asserted by scripts/selfcheck.py)
 
 from __future__ import annotations
 
@@ -960,6 +960,51 @@ def q34_novelty_filter(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+def q42_tree_pruned_search(spark, sf_dir):
+    """Hierarchical manifest-tree pruning end-to-end (Bloofi
+    `InnerNode.java:118-133` descent lifted to shard groups — see
+    BloomIndexWriter._write_manifest_tree): batched shard planning
+    descends a 3-level OR-folded tree (32 shards grouped 4 per node),
+    the candidate rows are read ONLY from the surviving shards, then
+    post-verified exactly. Tree pruning is lossless by the OR-superset
+    property, so the oracle is plain verified-containment SQL — a shard
+    wrongly pruned by the descent would surface as missing rows and
+    break the value hash."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=32,
+                      chunk_slots=4096, manifest_group_size=4)
+    ckey = hashlib.md5(cfg.to_json().encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"tree_idx_{ckey}")
+    BloomIndexWriter(spark, cfg).build(df, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    qs = {"bash_w2": r.transcript_query_tokens("assistant", "Bash",
+                                               ["w00002"]),
+          "user_w0": r.transcript_query_tokens("user", None,
+                                               ["w00000", "w00003"])}
+    surv = r.prune_shards_many_distributed(qs, use_tree=True)
+    store = r.storage().select("shard", "conv_id", "turn_idx")
+    parts = []
+    for name in sorted(qs):
+        shards = surv[name]
+        cand = (store.where(F.col("shard").isin(shards)) if shards
+                else store.where(F.lit(False)))
+        parts.append(cand.withColumn("query", F.lit(name)))
+    cand = parts[0].unionByName(parts[1]) \
+        .join(df, ["conv_id", "turn_idx"])
+    w = F.split(F.trim("text"), r"\s+")
+    verified = cand.where(
+        ((F.col("query") == "bash_w2") & (F.col("role") == "assistant")
+         & (F.col("tool") == "Bash") & F.array_contains(w, "w00002"))
+        | ((F.col("query") == "user_w0") & (F.col("role") == "user")
+           & F.array_contains(w, "w00000")
+           & F.array_contains(w, "w00003")))
+    return (verified.select("query", "conv_id", "turn_idx", "role", "tool")
+            .orderBy("query", "conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1003,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_bitexact_get": q39_bitexact_get,
         "q40_container_counts": q40_container_counts,
         "q41_shape_math": q41_shape_math,
+        "q42_tree_pruned_search": q42_tree_pruned_search,
     }
 
 
@@ -1585,6 +1631,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'grep_w1', conv_id, turn_idx, role, tool FROM t
                 WHERE tool = 'Grep' AND list_contains(ws, 'w00001'))
+            ORDER BY query, conv_id, turn_idx
+        """,
+        # q42: tree-pruned batched search — descent is lossless, so the
+        # oracle is the same verified-containment UNION as q33's shape;
+        # a group wrongly pruned by the tree would drop rows here.
+        "q42_tree_pruned_search": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet'))
+            SELECT * FROM (
+                SELECT 'bash_w2' AS query, conv_id, turn_idx, role, tool
+                FROM t
+                WHERE role = 'assistant' AND tool = 'Bash'
+                  AND list_contains(ws, 'w00002')
+                UNION ALL
+                SELECT 'user_w0', conv_id, turn_idx, role, tool FROM t
+                WHERE role = 'user'
+                  AND list_contains(ws, 'w00000')
+                  AND list_contains(ws, 'w00003'))
             ORDER BY query, conv_id, turn_idx
         """,
         # q34: novelty == token-SET non-membership. A row's content key is

@@ -128,6 +128,14 @@ class IndexConfig:
     # two produce different (both valid) bit layouts; the backend is
     # recorded in config.json and the reader hashes accordingly.
     hash_backend: str = "jvm"
+    # shards per group at each level of the hierarchical manifest tree
+    # (``manifest_tree/``: OR-of-member summaries + gates per group,
+    # folded recursively until a single root row — the Bloofi inner-node
+    # structure, `InnerNode.java:118-133`, lifted to the shard-manifest
+    # level). Batched distributed pruning descends the tree and scans
+    # only surviving groups' leaf manifest rows; see
+    # BloomIndexReader.prune_shards_many_distributed.
+    manifest_group_size: int = 64
     # where the value multimap lives (mdbloom.spark.storage SPI — the
     # reference's Storage<E,I>/Serde plug point, `Container.java:171-221`,
     # `IgniteStorage.java:48-101`): "parquet" (default, lake-native) or
@@ -150,11 +158,14 @@ class IndexConfig:
     # slab scan, search_keys_slab_sql_many;
     # v6: pluggable storage backend — config.json gains storage_backend
     # and the storage/ parquet dir is OPTIONAL (KV backends keep values
-    # off-disk), which a pre-SPI reader would misread as a broken index.
+    # off-disk), which a pre-SPI reader would misread as a broken index;
+    # v7: hierarchical manifest tree (manifest_tree/ levels of OR-folded
+    # group summaries+gates) — config.json gains manifest_group_size and
+    # batched pruning expects the tree artifact beside the manifest.
     # build(resume=True) compares the FULL config.json — a version bump
     # therefore forces a clean rebuild instead of mixing old/new-schema
     # shard files (ADVICE r1: mixed-schema slabs dir after a change).
-    FORMAT_VERSION = 6
+    FORMAT_VERSION = 7
 
     def to_json(self) -> str:
         import json
@@ -171,6 +182,7 @@ class IndexConfig:
             "id_columns": list(self.id_columns),
             "payload_columns": list(self.payload_columns),
             "hash_backend": self.hash_backend,
+            "manifest_group_size": self.manifest_group_size,
             "storage_backend": self.storage_backend,
             "shape": self.shape.to_dict(),
         })
@@ -188,6 +200,7 @@ class IndexConfig:
             id_columns=tuple(d["id_columns"]),
             payload_columns=tuple(d.get("payload_columns", ())),
             hash_backend=d.get("hash_backend", "python"),
+            manifest_group_size=d.get("manifest_group_size", 64),
             storage_backend=d.get("storage_backend", "parquet"))
         return cfg
 
@@ -708,18 +721,89 @@ class BloomIndexWriter:
                 "rows": int(n_rows), "sec": time.monotonic() - t0,
                 "phases": phases}
 
-    @staticmethod
-    def _write_manifest(mdf: DataFrame, manifest_path: str) -> None:
+    def _write_manifest(self, mdf: DataFrame, manifest_path: str) -> None:
         """Small table: single file, overwritten atomically via
         temp+rename. repartition(1), NOT coalesce(1): coalesce would
         propagate the 1-task constraint upstream into the gate/manifest
-        computation."""
+        computation. Every leaf-manifest write refreshes the manifest
+        TREE beside it, so the two artifacts can never desynchronize."""
         import shutil
         tmp = manifest_path + "_tmp"
         mdf.repartition(1).write.mode("overwrite").parquet(tmp)
         if os.path.exists(manifest_path):
             shutil.rmtree(manifest_path)
         os.rename(tmp, manifest_path)
+        self._write_manifest_tree(manifest_path)
+
+    @staticmethod
+    def _tree_fold_udf():
+        """OR-fold one group's child summaries/gates into the parent row
+        (the Bloofi inner-node invariant: parent filter = OR of children,
+        `InnerNode.java:58-66` recompute). A group whose ANY child lacks
+        a token gate gets a NULL gate — the group then conservatively
+        passes every gate test, exactly like a null-gate leaf in the
+        distributed pruner."""
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = np.frombuffer(pdf["summary"].iloc[0], dtype=B.U64).copy()
+            for b in pdf["summary"].iloc[1:]:
+                s |= np.frombuffer(b, dtype=B.U64)
+            gate = None
+            if pdf["token_gate"].notna().all():
+                g = np.frombuffer(pdf["token_gate"].iloc[0],
+                                  dtype=B.U64).copy()
+                for b in pdf["token_gate"].iloc[1:]:
+                    g |= np.frombuffer(b, dtype=B.U64)
+                gate = g.tobytes()
+            return pd.DataFrame([{"grp": int(pdf["grp"].iloc[0]),
+                                  "n_children": len(pdf),
+                                  "summary": s.tobytes(),
+                                  "token_gate": gate}])
+        return fold
+
+    def _write_manifest_tree(self, manifest_path: str) -> None:
+        """Hierarchical pruning tree over the shard manifest: level 1
+        groups ``manifest_group_size`` shards per row (OR of their
+        summaries and gates), level l+1 groups level l's rows the same
+        way, up to a single root — the B+-tree-of-filters descent the
+        local BloofiIndex implements, lifted to the distributed metadata
+        layer (reference frame: `InnerNode.java:118-133` search descent;
+        the reference ships only the FLAT form, `FlatBloofi.java:25-31`).
+
+        Batched planning descends root→leaf and reads only surviving
+        groups' leaf manifest rows instead of scanning every shard's
+        128 KiB gate per batch — the pruning path past ~10⁴ shards.
+        Level 1 is folded DISTRIBUTED (the leaf manifest is the big
+        table); upper levels are log-shrinking and reuse the same fold.
+        Atomic tmp+rename like the manifest itself."""
+        import shutil
+        spark = self.spark
+        G = max(2, int(self.cfg.manifest_group_size))
+        tree_path = os.path.join(os.path.dirname(manifest_path),
+                                 "manifest_tree")
+        tmp = tree_path + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cur = (spark.read.parquet(manifest_path)
+               .select(F.col("shard").cast("long").alias("child"),
+                       "summary", "token_gate"))
+        schema = ("grp long, n_children int, summary binary, "
+                  "token_gate binary")
+        lvl = 1
+        while True:
+            out = (cur.withColumn("grp", F.expr(f"child div {G}"))
+                   .select("grp", "summary", "token_gate")
+                   .groupBy("grp")
+                   .applyInPandas(self._tree_fold_udf(), schema=schema))
+            level_dir = os.path.join(tmp, f"level={lvl}")
+            out.write.mode("overwrite").parquet(level_dir)
+            written = spark.read.parquet(level_dir)
+            if written.count() <= 1:
+                break
+            cur = written.select(F.col("grp").alias("child"),
+                                 "summary", "token_gate")
+            lvl += 1
+        if os.path.exists(tree_path):
+            shutil.rmtree(tree_path)
+        os.rename(tmp, tree_path)
 
     # ---------------- deletes (C4 at scale) ----------------
     #

@@ -145,9 +145,24 @@ class BloomIndexReader:
       queries.
 
     `search_rows` / `search_verified*` take ``via=`` to pick one
-    explicitly; the default is the NumPy slab everywhere."""
+    explicitly; ``via="auto"`` applies the table above mechanically
+    (:meth:`choose_strategy`), and the default stays the NumPy slab."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    # auto strategy selection (VERDICT r3 item 7): below this many live
+    # physical slots the O(rows·k) linear storage scan beats reading the
+    # slab artifacts at all — measured regime from BENCH.md (the slab
+    # paths win from ~10^5-10^6 filters up; linear's advantage is the
+    # skipped artifact read + cheapest possible plan)
+    LINEAR_MAX_SLOTS = 100_000
+
+    def __init__(self, spark: SparkSession, path: str,
+                 prefer_jvm: bool = False):
+        """``prefer_jvm=True`` steers ``via="auto"`` to the all-JVM
+        slab-SQL strategy instead of the NumPy slab for large
+        populations — for deployments where Python workers / Arrow
+        transfer are the measured bottleneck (BENCH.md scaling pairs).
+        Results are bit-identical either way."""
+        self.prefer_jvm = prefer_jvm
         self.spark = spark
         self.path = path
         if os.path.isdir(os.path.join(path, "pending")):
@@ -377,10 +392,72 @@ class BloomIndexReader:
             keep &= B.contains_words(gates, *B.nonzero_words(gq))
         return sorted(int(s) for s in shards[keep])
 
-    def prune_shards_many_distributed(self, queries: dict) -> dict:
-        """Batched pruning as ONE Spark job over the manifest parquet:
-        for Q queries at once, evaluate the SAME sparse summary + token-
-        gate word tests as :meth:`prune_shards`, executor-side.
+    def _descend_tree(self, plans, tree_dir: str, stats: dict):
+        """Root→leaf descent over the hierarchical manifest tree
+        (``manifest_tree/``, BloomIndexWriter._write_manifest_tree): at
+        each level, evaluate every plan's sparse summary + gate word
+        tests against the level's OR-folded group rows, reading ONLY the
+        rows whose parent survived some query — the Bloofi inner-node
+        descent (`InnerNode.java:118-133`) over shard-group metadata.
+
+        Returns {query id: set of surviving level-1 group ids}. Sound
+        and exact by the OR-superset property: a shard passing the leaf
+        word test implies every ancestor group passes it too (group
+        summary/gate = OR ⊇ member; a group with any gateless member
+        carries a NULL gate and conservatively passes), so restricting
+        the leaf scan to surviving groups cannot change results."""
+        levels = sorted(int(d.split("=", 1)[1])
+                        for d in os.listdir(tree_dir)
+                        if d.startswith("level="))
+        G = max(2, int(self.cfg.manifest_group_size))
+        surv: dict = {qid: None for qid, *_ in plans}  # None = everything
+        for lvl in reversed(levels):
+            df = self.spark.read.parquet(
+                os.path.join(tree_dir, f"level={lvl}"))
+            parents = (None if any(s is None for s in surv.values())
+                       else sorted(set().union(*surv.values())))
+            if parents is not None:
+                df = (df.where(F.expr(f"grp div {G}").isin(parents))
+                      if parents else df.where(F.lit(False)))
+            pdf = df.toPandas()
+            stats["tree_rows_read"] += len(pdf)
+            if not len(pdf):
+                return {qid: set() for qid, *_ in plans}
+            grps = pdf["grp"].to_numpy()
+            summaries = np.stack(
+                [np.frombuffer(b, dtype=B.U64) for b in pdf["summary"]])
+            has_gate = pdf["token_gate"].notna().to_numpy()
+            gates = None
+            if has_gate.any():
+                gw = len(np.frombuffer(
+                    pdf["token_gate"][pdf.index[has_gate.argmax()]],
+                    dtype=B.U64))
+                gates = np.zeros((len(pdf), gw), dtype=B.U64)
+                gates[has_gate] = np.stack(
+                    [np.frombuffer(b, dtype=B.U64)
+                     for b in pdf["token_gate"][has_gate]])
+            new_surv = {}
+            for qid, sidx, sval, gidx, gval in plans:
+                keep = B.contains_words(summaries, sidx, sval)
+                if gates is not None and gidx.size:
+                    keep &= B.contains_words(gates, gidx, gval) | ~has_gate
+                ks = grps[keep]
+                prev = surv[qid]
+                if prev is not None:
+                    parent_arr = (np.fromiter(prev, dtype=np.int64)
+                                  if prev else np.array([], dtype=np.int64))
+                    ks = ks[np.isin(ks // G, parent_arr)]
+                new_surv[qid] = set(int(g) for g in ks)
+            surv = new_surv
+        stats["levels_descended"] = len(levels)
+        return surv
+
+    def prune_shards_many_distributed(self, queries: dict,
+                                      use_tree: bool | None = None,
+                                      return_stats: bool = False):
+        """Batched pruning over the manifest parquet: for Q queries at
+        once, evaluate the SAME sparse summary + token-gate word tests
+        as :meth:`prune_shards`, executor-side.
 
         This is the pruning path past driver-matrix scale (README "Sizing
         at 100 TB"): at ~10⁶ shards the manifest is a ~100 GB parquet
@@ -391,6 +468,15 @@ class BloomIndexReader:
         for scan planning is safe. Reference frame: the gate short-
         circuit of `ContainerImpl.java:115,171` lifted to a distributed
         metadata scan.
+
+        ``use_tree`` (default: auto — on when the index has a
+        ``manifest_tree/``) first descends the hierarchical manifest
+        tree (:meth:`_descend_tree`) and restricts the leaf scan to the
+        union of surviving shard GROUPS, so a batch whose tokens are
+        absent from whole groups never reads those groups' per-shard
+        gates at all. Results are bit-identical with or without the
+        tree (OR-superset property). ``return_stats=True`` additionally
+        returns {levels_descended, tree_rows_read, leaf_rows_scanned}.
 
         ``queries`` maps query id -> token list (empty list = match-all,
         as in :meth:`prune_shards`). Returns {query id: sorted shard
@@ -418,6 +504,19 @@ class BloomIndexReader:
         man = self.spark.read.parquet(
             os.path.join(self.path, "manifest")).select(
             "shard", "summary", "token_gate")
+        tree_dir = os.path.join(self.path, "manifest_tree")
+        if use_tree is None:
+            use_tree = os.path.isdir(tree_dir)
+        stats = {"levels_descended": 0, "tree_rows_read": 0,
+                 "leaf_rows_scanned": 0}
+        if use_tree:
+            G = max(2, int(self.cfg.manifest_group_size))
+            surv = self._descend_tree(plans, tree_dir, stats)
+            union = sorted(set().union(*surv.values())) if surv else []
+            man = (man.where(F.expr(f"shard div {G}").isin(union))
+                   if union else man.where(F.lit(False)))
+        if return_stats:
+            stats["leaf_rows_scanned"] = man.count()
         bc = self.spark.sparkContext.broadcast(plans)
 
         def fn(pdfs):
@@ -454,7 +553,8 @@ class BloomIndexReader:
         by_str = {str(qid): qid for qid in queries}
         for r in rows:
             out[by_str[r.query_id]].append(r.shard)
-        return {qid: sorted(v) for qid, v in out.items()}
+        result = {qid: sorted(v) for qid, v in out.items()}
+        return (result, stats) if return_stats else result
 
     # ---------------- search ----------------
     def search_keys(self, tokens) -> DataFrame:
@@ -931,13 +1031,51 @@ class BloomIndexReader:
                 .select("shard", "key"))
         return self.storage().join(keys, ["shard", "key"], "left_semi")
 
+    def choose_strategy(self, n_queries: int = 1) -> str:
+        """Mechanical strategy selection for ``via="auto"`` — the
+        measured regimes from BENCH.md as code, so a user gets the right
+        physical plan without reading the bench notes (all three return
+        bit-identical rows, so this is purely a cost decision):
+
+        ======================  ============  =============================
+        condition               choice        why (BENCH.md regime)
+        ======================  ============  =============================
+        live slots ≤ 10⁵        ``linear``    O(rows·k) storage scan beats
+                                              touching slab artifacts at
+                                              tiny populations / one-offs
+        else, prefer_jvm        ``slab_sql``  same O(k·N/64) kernel, zero
+                                              Arrow transfer — for hosts
+                                              where parallel Python/DRAM
+                                              is the measured ceiling
+        else                    ``slab``      NumPy bit-sliced kernel,
+                                              lowest per-query constant
+                                              at any batch width
+        ======================  ============  =============================
+
+        ``n_queries`` is accepted for future batch-aware refinements
+        (today the regimes above do not cross over on batch width: the
+        slab paths amortize batches strictly better than linear)."""
+        if self.slot_count() <= self.LINEAR_MAX_SLOTS:
+            return "linear"
+        return "slab_sql" if self.prefer_jvm else "slab"
+
+    def _resolve_via(self, via: str, n_queries: int = 1) -> str:
+        if via == "auto":
+            return self.choose_strategy(n_queries)
+        if via not in ("slab", "linear", "slab_sql"):
+            raise ValueError(
+                f"unknown strategy {via!r}: expected 'slab', 'linear', "
+                "'slab_sql' or 'auto'")
+        return via
+
     def search_rows(self, tokens, source_df: DataFrame,
                     via: str = "slab") -> DataFrame:
         """Search and join back to the original table on the id columns.
         ``via``: "slab" (bit-sliced index scan, NumPy kernel), "linear"
-        (all-JVM storage scan, :meth:`search_linear`) or "slab_sql"
+        (all-JVM storage scan, :meth:`search_linear`), "slab_sql"
         (bit-sliced index scan, all-JVM, :meth:`search_slab_sql`) —
-        identical results."""
+        identical results — or "auto" (:meth:`choose_strategy`)."""
+        via = self._resolve_via(via)
         id_cols = list(self.cfg.id_columns)
         hits = (self.search_linear(tokens) if via == "linear"
                 else self.search_slab_sql(tokens) if via == "slab_sql"
@@ -984,6 +1122,7 @@ class BloomIndexReader:
         :meth:`search_many`."""
         cfg = self.cfg
         id_cols = list(cfg.id_columns)
+        via = self._resolve_via(via, len(queries))
         hits = (self.search_linear_many(queries) if via == "linear"
                 else self.search_slab_sql_many(queries)
                 if via == "slab_sql" else self.search_many(queries))

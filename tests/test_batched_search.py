@@ -362,3 +362,100 @@ def test_prune_shards_many_distributed_matches_driver(spark, reader):
         assert got[qid] == want, qid
     assert got["every"] == sorted(
         int(s) for s in reader.manifest()["shard"])
+
+
+def test_choose_strategy_regimes(spark, reader, monkeypatch):
+    """via="auto" applies the documented BENCH.md regimes mechanically
+    (VERDICT r3 item 7): tiny population -> linear storage scan; large
+    population -> NumPy slab; prefer_jvm flips the large regime to the
+    all-JVM slab-SQL path. Explicit via always wins; junk is rejected."""
+    assert reader.slot_count() <= reader.LINEAR_MAX_SLOTS
+    assert reader.choose_strategy() == "linear"
+    assert reader._resolve_via("auto") == "linear"
+    monkeypatch.setattr(reader, "slot_count", lambda: 10_000_000)
+    assert reader.choose_strategy() == "slab"
+    monkeypatch.setattr(reader, "prefer_jvm", True)
+    assert reader.choose_strategy() == "slab_sql"
+    # explicit choice bypasses the selector entirely
+    assert reader._resolve_via("linear") == "linear"
+    with pytest.raises(ValueError):
+        reader._resolve_via("bogus")
+
+
+def test_search_verified_auto_matches_explicit(spark, reader):
+    """Auto-selected strategy returns the same rows as every explicit
+    one (they are bit-identical by contract)."""
+    df = synthesize_transcripts(spark, 1500, seed=42)
+    toks = reader.transcript_query_tokens("assistant", None, ["w00001"])
+    def got(via):
+        return set(map(tuple, reader.search_verified(toks, df, via=via)
+                       .select("conv_id", "turn_idx").toPandas()
+                       .itertuples(index=False)))
+    auto = got("auto")
+    assert auto == got("slab") == got("linear")
+    qs = {"a": toks, "absent": ["tok=zzznope"]}
+    batched = reader.search_verified_many(qs, df, via="auto").toPandas()
+    assert set(map(tuple,
+                   batched[batched["query"] == "a"]
+                   [["conv_id", "turn_idx"]].itertuples(index=False))) \
+        == auto
+
+
+@pytest.fixture(scope="module")
+def tree_reader(spark, tmp_path_factory):
+    """32 shards grouped 4-per-node -> a 3-level manifest tree above the
+    leaf manifest (8 -> 2 -> 1 rows)."""
+    path = str(tmp_path_factory.mktemp("tidx") / "index")
+    df = synthesize_transcripts(spark, 3000, seed=7)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=32,
+                      chunk_slots=256, manifest_group_size=4)
+    BloomIndexWriter(spark, cfg).build(df, path)
+    return BloomIndexReader(spark, path)
+
+
+def test_manifest_tree_levels_written(tree_reader):
+    import os
+    levels = sorted(d for d in os.listdir(
+        os.path.join(tree_reader.path, "manifest_tree"))
+        if d.startswith("level="))
+    assert levels == ["level=1", "level=2", "level=3"]
+
+
+def test_prune_tree_matches_flat_and_driver(spark, tree_reader):
+    """Hierarchical descent must return bit-identical shard lists to the
+    flat distributed scan AND the driver-matrix loop — the OR-superset
+    property makes group restriction lossless (VERDICT r3 item 6)."""
+    r = tree_reader
+    queries = {
+        "a": r.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": r.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "every": [],
+        "absent": ["tok=zzznope", "tok=zzznope2"],
+        "rare": r.transcript_query_tokens("user", "Grep", ["w00000"]),
+    }
+    flat = r.prune_shards_many_distributed(queries, use_tree=False)
+    tree, stats = r.prune_shards_many_distributed(
+        queries, use_tree=True, return_stats=True)
+    assert tree == flat
+    assert stats["levels_descended"] == 3
+    for qid, toks in queries.items():
+        assert tree[qid] == r.prune_shards(
+            r.query_bits(list(toks)), list(toks)), qid
+
+
+def test_prune_tree_skips_leaf_rows_for_pruned_groups(spark, tree_reader):
+    """A batch whose tokens are absent from whole shard groups must never
+    read those groups' leaf manifest rows (the planned-scan reduction the
+    tree exists for)."""
+    r = tree_reader
+    res, stats = r.prune_shards_many_distributed(
+        {"x": ["tok=zzznope"], "y": ["tok=zzqnever"]},
+        use_tree=True, return_stats=True)
+    assert res == {"x": [], "y": []}
+    n_shards = len(r.manifest())
+    assert stats["leaf_rows_scanned"] < n_shards
+    # flat path scans every leaf row for the same batch
+    _, flat_stats = r.prune_shards_many_distributed(
+        {"x": ["tok=zzznope"], "y": ["tok=zzqnever"]},
+        use_tree=False, return_stats=True)
+    assert flat_stats["leaf_rows_scanned"] == n_shards
