@@ -964,12 +964,14 @@ def q42_tree_pruned_search(spark, sf_dir):
     """Hierarchical manifest-tree pruning end-to-end (Bloofi
     `InnerNode.java:118-133` descent lifted to shard groups — see
     BloomIndexWriter._write_manifest_tree): batched shard planning
-    descends a 3-level OR-folded tree (32 shards grouped 4 per node),
-    the candidate rows are read ONLY from the surviving shards, then
-    post-verified exactly. Tree pruning is lossless by the OR-superset
-    property, so the oracle is plain verified-containment SQL — a shard
-    wrongly pruned by the descent would surface as missing rows and
-    break the value hash."""
+    descends a 3-level tree (32 shards grouped 4 per node; OR-folded
+    summaries + population-sized node token gates), the candidate rows
+    are read ONLY from the surviving shards, then post-verified exactly.
+    The descent is SOUND for true containment (node gates are built from
+    each group's exact distinct token set; Bloom has no false
+    negatives), so the oracle is plain verified-containment SQL — a
+    shard wrongly pruned by the descent would surface as missing rows
+    and break the value hash."""
     from mdbloom.spark.build import BloomIndexWriter, IndexConfig
     from mdbloom.spark.query import BloomIndexReader
 

@@ -129,13 +129,25 @@ class IndexConfig:
     # recorded in config.json and the reader hashes accordingly.
     hash_backend: str = "jvm"
     # shards per group at each level of the hierarchical manifest tree
-    # (``manifest_tree/``: OR-of-member summaries + gates per group,
-    # folded recursively until a single root row — the Bloofi inner-node
-    # structure, `InnerNode.java:118-133`, lifted to the shard-manifest
-    # level). Batched distributed pruning descends the tree and scans
-    # only surviving groups' leaf manifest rows; see
+    # (``manifest_tree/``: OR-of-member summaries per group plus a
+    # POPULATION-SIZED token gate built from the group's exact distinct
+    # token set, folded recursively until a single root row — the Bloofi
+    # inner-node structure, `InnerNode.java:118-133`, lifted to the
+    # shard-manifest level). Batched distributed pruning descends the
+    # tree and scans only surviving groups' leaf manifest rows; see
     # BloomIndexReader.prune_shards_many_distributed.
     manifest_group_size: int = 64
+    # per-NODE gate size cap for the manifest tree. Tree gates are sized
+    # from each node's own distinct-token population (the reference's
+    # population-sized gate, `ContainerImpl.java:70-72,92-93`, applied
+    # per node) because OR-folding optimally-sized child gates SATURATES:
+    # a ~50%-full leaf gate OR'd 16 ways is ~99.998% full and prunes
+    # nothing (measured in scripts/tree_prune_bench.py). A node whose
+    # population needs m > this cap stores a NULL gate and conservatively
+    # passes every gate test — by Heaps' law the root of a web-scale
+    # corpus lands there, and pruning starts at the first level whose
+    # vocabulary fits. 2^24 bits = 2 MiB/node ≈ 1.16M tokens at p=1e-3.
+    tree_gate_max_m: int = 1 << 24
     # where the value multimap lives (mdbloom.spark.storage SPI — the
     # reference's Storage<E,I>/Serde plug point, `Container.java:171-221`,
     # `IgniteStorage.java:48-101`): "parquet" (default, lake-native) or
@@ -161,11 +173,16 @@ class IndexConfig:
     # off-disk), which a pre-SPI reader would misread as a broken index;
     # v7: hierarchical manifest tree (manifest_tree/ levels of OR-folded
     # group summaries+gates) — config.json gains manifest_group_size and
-    # batched pruning expects the tree artifact beside the manifest.
+    # batched pruning expects the tree artifact beside the manifest;
+    # v8: token_hashes/ artifact (per-shard distinct token hash stream,
+    # partitioned by shard) + tree gates rebuilt from it POPULATION-SIZED
+    # per node (v7's OR-folded tree gates saturate above level 1 and
+    # never prune) — tree rows gain gate_m/gate_k/n_tokens columns and
+    # config.json gains tree_gate_max_m.
     # build(resume=True) compares the FULL config.json — a version bump
     # therefore forces a clean rebuild instead of mixing old/new-schema
     # shard files (ADVICE r1: mixed-schema slabs dir after a change).
-    FORMAT_VERSION = 7
+    FORMAT_VERSION = 8
 
     def to_json(self) -> str:
         import json
@@ -183,6 +200,7 @@ class IndexConfig:
             "payload_columns": list(self.payload_columns),
             "hash_backend": self.hash_backend,
             "manifest_group_size": self.manifest_group_size,
+            "tree_gate_max_m": self.tree_gate_max_m,
             "storage_backend": self.storage_backend,
             "shape": self.shape.to_dict(),
         })
@@ -201,6 +219,7 @@ class IndexConfig:
             payload_columns=tuple(d.get("payload_columns", ())),
             hash_backend=d.get("hash_backend", "python"),
             manifest_group_size=d.get("manifest_group_size", 64),
+            tree_gate_max_m=d.get("tree_gate_max_m", 1 << 24),
             storage_backend=d.get("storage_backend", "parquet"))
         return cfg
 
@@ -318,14 +337,18 @@ class BloomIndexWriter:
                                    schema=_filter_schema(df, carry))
 
     # ---------------- token gate ----------------
-    def token_gate_df(self, df: DataFrame) -> DataFrame:
-        """(shard, token_gate binary, n_tokens): per-shard Bloom filter over
-        the shard's DISTINCT dimension tokens at the gate shape — the
-        pruning analogue of the reference's population-sized counting gate
-        (`ContainerImpl.java:92-93`). A query token absent from a shard's
-        vocabulary prunes the shard (mod the gate's own FPR)."""
+    def _token_stream_df(self, df: DataFrame) -> DataFrame:
+        """Per-shard DISTINCT dimension-token stream — the exact token-set
+        source of truth behind every gate artifact. jvm backend:
+        (shard, h1, h2) raw xxhash64 pairs; python backend:
+        (shard, token). build() persists this stream under
+        ``token_hashes/`` (partitioned by shard, dirty partitions
+        dynamically overwritten) so any later manifest refresh — remove,
+        artifact-only compact, with the source table gone — can rebuild
+        population-sized tree gates EXACTLY. Folding or carrying gates
+        over instead would UNDERCLAIM after an incremental add (a group
+        gate missing a new shard's tokens prunes true matches)."""
         cfg = self.cfg
-        gate_shape = cfg.gate_shape
         cols = [c for c in cfg.tag_columns if c in df.columns]
         sel = [cfg.id_columns[0]] + cols
         if cfg.text_column and cfg.text_column in df.columns:
@@ -333,30 +356,13 @@ class BloomIndexWriter:
         sharded = df.select(*sel).withColumn(
             "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
                             F.lit(cfg.n_shards)).cast("int"))
-
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
-            toks = (J.exploded_token_rows(sharded, cfg, [])
+            return (J.exploded_token_rows(sharded, cfg, [])
                     .where(F.col("_t").isNotNull())
                     .select("shard", F.xxhash64("_t").alias("h1"),
                             F.xxhash64("_t", F.lit(1)).alias("h2"))
                     .dropDuplicates(["shard", "h1", "h2"]))
-
-            def build_gate_jvm(pdf: pd.DataFrame) -> pd.DataFrame:
-                shard = int(pdf["shard"].iloc[0])
-                gate = B.zeros(gate_shape.m)
-                if len(pdf):
-                    pos = J.gate_positions_batch(
-                        pdf["h1"].to_numpy(), pdf["h2"].to_numpy(),
-                        gate_shape)
-                    B.set_bits(gate, np.unique(pos.ravel()))
-                return pd.DataFrame([{"shard": shard,
-                                      "token_gate": B.to_bytes(gate),
-                                      "n_tokens": len(pdf)}])
-
-            return toks.groupBy("shard").applyInPandas(
-                build_gate_jvm,
-                schema="shard int, token_gate binary, n_tokens long")
 
         def extract(iterator):
             for pdf in iterator:
@@ -365,33 +371,77 @@ class BloomIndexWriter:
                 flat, rows = record_tokens_pandas(pdf, cfg)
                 if not flat.size:
                     continue
-                out = pd.DataFrame({
+                yield pd.DataFrame({
                     "shard": pdf["shard"].to_numpy()[rows],
                     "token": flat,
                 }).drop_duplicates()
-                yield out
 
-        tokens = (sharded.mapInPandas(extract, schema="shard int, token string")
-                  .dropDuplicates(["shard", "token"]))
+        return (sharded.mapInPandas(extract,
+                                    schema="shard int, token string")
+                .dropDuplicates(["shard", "token"]))
+
+    @property
+    def _stream_keys(self) -> list:
+        """Token-identity columns of the stream (backend-dependent)."""
+        return (["h1", "h2"] if self.cfg.hash_backend == "jvm"
+                else ["token"])
+
+    @staticmethod
+    def _gate_positions(pdf: pd.DataFrame, shape, jvm: bool) -> np.ndarray:
+        """Distinct set-bit positions for one node's token batch at an
+        ARBITRARY gate shape — the same per-backend math the query side
+        mirrors (jvm: xxhash64 + enhanced double hashing; python: md5),
+        so gates of any size stay bit-compatible with query probes."""
+        if jvm:
+            from mdbloom.spark import jvm_hash as J
+            pos = J.gate_positions_batch(pdf["h1"].to_numpy(),
+                                         pdf["h2"].to_numpy(), shape)
+        else:
+            from mdbloom.hashing import (hash_unique_tokens,
+                                         km_positions_matrix)
+            h1s, h2s = hash_unique_tokens(
+                pdf["token"].to_numpy(dtype=object))
+            pos = km_positions_matrix(h1s, h2s, shape)
+        return np.unique(pos.ravel())
+
+    def token_gate_df(self, stream: DataFrame) -> DataFrame:
+        """(shard, token_gate binary, n_tokens): per-shard Bloom filter over
+        the shard's DISTINCT dimension tokens at the (fixed) gate shape —
+        the pruning analogue of the reference's population-sized counting
+        gate (`ContainerImpl.java:92-93`). A query token absent from a
+        shard's vocabulary prunes the shard (mod the gate's own FPR).
+        ``stream`` is a :meth:`_token_stream_df`-shaped frame, fresh or
+        read back from ``token_hashes/``."""
+        gate_shape = self.cfg.gate_shape
+        jvm = self.cfg.hash_backend == "jvm"
+        gate_positions = self._gate_positions
 
         def build_gate(pdf: pd.DataFrame) -> pd.DataFrame:
             # set bit positions directly — NEVER materialize per-token
             # masks at gate width (k positions/token vs m/64 words/token)
-            from mdbloom.hashing import (hash_unique_tokens,
-                                         km_positions_matrix)
             shard = int(pdf["shard"].iloc[0])
             gate = B.zeros(gate_shape.m)
-            toks = pdf["token"].to_numpy(dtype=object)
-            if len(toks):
-                h1s, h2s = hash_unique_tokens(toks)
-                pos = km_positions_matrix(h1s, h2s, gate_shape)
-                B.set_bits(gate, np.unique(pos.ravel()))
+            if len(pdf):
+                B.set_bits(gate, gate_positions(pdf, gate_shape, jvm))
             return pd.DataFrame([{"shard": shard,
                                   "token_gate": B.to_bytes(gate),
                                   "n_tokens": len(pdf)}])
 
-        return tokens.groupBy("shard").applyInPandas(
+        return stream.groupBy("shard").applyInPandas(
             build_gate, schema="shard int, token_gate binary, n_tokens long")
+
+    def _write_token_hashes(self, stream: DataFrame, path: str) -> None:
+        """Persist the per-shard distinct token stream (dirty partitions
+        dynamically overwritten; clean shards' files untouched).
+        Repartitioned by shard first: without it every upstream task
+        writes a sliver into every shard directory (tasks × shards tiny
+        files — measured 4x slower builds at 1024 shards from the file
+        churn alone); with it, one file per shard, and the stream is
+        re-read once per tree level at build."""
+        (stream.repartition("shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(os.path.join(path, "token_hashes")))
 
     # ---------------- fingerprints ----------------
     def fingerprints(self, df: DataFrame) -> DataFrame:
@@ -573,7 +623,7 @@ class BloomIndexWriter:
             # old tombstones) would survive as ghosts — storage()/slotmap/
             # empty-query search read the whole directory
             import shutil
-            for sub in ("slabs", "tombstones", "manifest"):
+            for sub in ("slabs", "tombstones", "manifest", "token_hashes"):
                 shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
             # clear the OLD config's backend too: rebuilding the same
             # path under a different storage_backend must not strand the
@@ -619,9 +669,10 @@ class BloomIndexWriter:
             if removed_shards:
                 import shutil
                 for s in removed_shards:
-                    shutil.rmtree(
-                        os.path.join(path, "slabs", f"shard={s}"),
-                        ignore_errors=True)
+                    for sub in ("slabs", "token_hashes"):
+                        shutil.rmtree(
+                            os.path.join(path, sub, f"shard={s}"),
+                            ignore_errors=True)
                 self._storage().drop_shards(path, removed_shards)
                 old_manifest = old_manifest.where(
                     ~F.col("shard").isin(removed_shards))
@@ -694,6 +745,17 @@ class BloomIndexWriter:
                     "merged rows (unique-id contract violation)")
             _mark("dup_contract_check")
 
+        # token stream: ONE distinct-aggregation over the dirty shards'
+        # source, persisted (token_hashes/, dynamic partition overwrite),
+        # then read back partition-locally for BOTH the leaf gates here
+        # and the tree gates inside _write_manifest (same compute-once-
+        # read-twice shape as slabs-from-storage above)
+        self._write_token_hashes(self._token_stream_df(src), path)
+        stream_rd = (spark.read
+                     .parquet(os.path.join(path, "token_hashes"))
+                     .where(F.col("shard").isin(build_shards)))
+        _mark("token_stream_write")
+
         # fingerprints were already collected — rebuild the tiny DF instead
         # of re-running the input aggregation
         fp_small = spark.createDataFrame(
@@ -704,7 +766,8 @@ class BloomIndexWriter:
                         .applyInPandas(self._manifest_udf(),
                                        schema=MANIFEST_SCHEMA)
                         .join(fp_small, "shard")
-                        .join(self.token_gate_df(src), "shard", "left"))
+                        .join(self.token_gate_df(stream_rd),
+                              "shard", "left"))
         if old_manifest is not None and skip_shards:
             manifest_all = manifest_new.unionByName(
                 old_manifest.where(F.col("shard").isin(skip_shards)))
@@ -737,69 +800,135 @@ class BloomIndexWriter:
 
     @staticmethod
     def _tree_fold_udf():
-        """OR-fold one group's child summaries/gates into the parent row
-        (the Bloofi inner-node invariant: parent filter = OR of children,
-        `InnerNode.java:58-66` recompute). A group whose ANY child lacks
-        a token gate gets a NULL gate — the group then conservatively
-        passes every gate test, exactly like a null-gate leaf in the
-        distributed pruner."""
+        """OR-fold one group's child summaries into the parent row (the
+        Bloofi inner-node invariant: parent filter = OR of children,
+        `InnerNode.java:58-66` recompute). Gates are NOT folded: an
+        optimally-sized Bloom gate is ~50% full, so an OR of G of them is
+        ~1-2^-G full and prunes nothing past level 1 (measured in
+        scripts/tree_prune_bench.py) — tree gates are instead rebuilt
+        POPULATION-SIZED from the token_hashes/ stream, see
+        _sized_gate_udf / _write_manifest_tree."""
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             s = np.frombuffer(pdf["summary"].iloc[0], dtype=B.U64).copy()
             for b in pdf["summary"].iloc[1:]:
                 s |= np.frombuffer(b, dtype=B.U64)
-            gate = None
-            if pdf["token_gate"].notna().all():
-                g = np.frombuffer(pdf["token_gate"].iloc[0],
-                                  dtype=B.U64).copy()
-                for b in pdf["token_gate"].iloc[1:]:
-                    g |= np.frombuffer(b, dtype=B.U64)
-                gate = g.tobytes()
             return pd.DataFrame([{"grp": int(pdf["grp"].iloc[0]),
                                   "n_children": len(pdf),
-                                  "summary": s.tobytes(),
-                                  "token_gate": gate}])
+                                  "summary": s.tobytes()}])
         return fold
 
-    def _write_manifest_tree(self, manifest_path: str) -> None:
-        """Hierarchical pruning tree over the shard manifest: level 1
-        groups ``manifest_group_size`` shards per row (OR of their
-        summaries and gates), level l+1 groups level l's rows the same
-        way, up to a single root — the B+-tree-of-filters descent the
-        local BloofiIndex implements, lifted to the distributed metadata
-        layer (reference frame: `InnerNode.java:118-133` search descent;
-        the reference ships only the FLAT form, `FlatBloofi.java:25-31`).
+    def _sized_gate_udf(self):
+        """Per-NODE population-sized token gate: shape from the node's own
+        distinct-token count at the index probability — the reference's
+        population-sized gate (`ContainerImpl.java:70-72,92-93`) applied
+        per tree node, which is what keeps upper levels sparse enough to
+        prune. NULL above tree_gate_max_m: the node then conservatively
+        passes every gate test (by Heaps' law the root of a web-scale
+        corpus lands here, and pruning starts at the first level whose
+        vocabulary fits the cap)."""
+        cfg = self.cfg
+        jvm = cfg.hash_backend == "jvm"
+        p = cfg.probability if 0 < cfg.probability < 1 else 1e-4
+        cap = int(cfg.tree_gate_max_m)
+        gate_positions = self._gate_positions
 
-        Batched planning descends root→leaf and reads only surviving
-        groups' leaf manifest rows instead of scanning every shard's
-        128 KiB gate per batch — the pruning path past ~10⁴ shards.
-        Level 1 is folded DISTRIBUTED (the leaf manifest is the big
-        table); upper levels are log-shrinking and reuse the same fold.
-        Atomic tmp+rename like the manifest itself."""
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            grp, n = int(pdf["grp"].iloc[0]), len(pdf)
+            shape = Shape.from_np(max(1, n), p)
+            if shape.m > cap:
+                return pd.DataFrame([{"grp": grp, "token_gate": None,
+                                      "gate_m": None, "gate_k": None,
+                                      "n_tokens": n}])
+            gate = B.zeros(shape.m)
+            B.set_bits(gate, gate_positions(pdf, shape, jvm))
+            return pd.DataFrame([{"grp": grp,
+                                  "token_gate": B.to_bytes(gate),
+                                  "gate_m": shape.m, "gate_k": shape.k,
+                                  "n_tokens": n}])
+        return build
+
+    def _write_manifest_tree(self, manifest_path: str) -> None:
+        """Hierarchical pruning tree over the shard manifest
+        (``manifest_tree/``): level 1 groups ``manifest_group_size``
+        shards per row, level l+1 groups level l's rows the same way, up
+        to a single root — the B+-tree-of-filters descent the local
+        BloofiIndex implements, lifted to the distributed metadata layer
+        (reference frame: `InnerNode.java:118-133` search descent; the
+        reference ships only the FLAT form, `FlatBloofi.java:25-31`).
+
+        Each node carries (a) the OR-fold of its members' summaries —
+        a sound bit-superset, cheap, but saturating with depth — and
+        (b) a POPULATION-SIZED token gate rebuilt from ``token_hashes/``
+        at the node's own distinct-token count (NULL above
+        tree_gate_max_m). (b) is what makes levels ≥ 2 prune at all.
+        Node gates are exact supersets of TRUE token membership, so the
+        descent never loses a true match; it MAY prune leaf-gate false
+        positives the flat scan keeps (subset semantics — documented on
+        prune_shards_many_distributed).
+
+        Rebuilt on EVERY manifest write, so the two artifacts cannot
+        desynchronize. Remove/compact refreshes rebuild from the
+        then-current token stream, which removals leave untouched — a
+        stale SUPERSET (deleted rows' tokens linger until their shard is
+        rebuilt), sound, matching the leaf gates being carried over
+        unchanged on those paths. Level 1 aggregates DISTRIBUTED (the
+        leaf manifest + token stream are the big tables); upper levels
+        shrink by G per step, costing one log-shrinking pass over the
+        stream each (L = log_G(shards) levels total). Indexes without a
+        token_hashes/ artifact (pre-v8) get summary-only trees with NULL
+        gates. Atomic tmp+rename like the manifest itself."""
         import shutil
         spark = self.spark
         G = max(2, int(self.cfg.manifest_group_size))
-        tree_path = os.path.join(os.path.dirname(manifest_path),
-                                 "manifest_tree")
+        root = os.path.dirname(manifest_path)
+        tree_path = os.path.join(root, "manifest_tree")
+        tok_dir = os.path.join(root, "token_hashes")
+        keys = self._stream_keys
         tmp = tree_path + "_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         cur = (spark.read.parquet(manifest_path)
                .select(F.col("shard").cast("long").alias("child"),
-                       "summary", "token_gate"))
-        schema = ("grp long, n_children int, summary binary, "
-                  "token_gate binary")
+                       "summary"))
+        cur_tok = None
+        if os.path.isdir(tok_dir):
+            cur_tok = (spark.read.parquet(tok_dir)
+                       .select(F.col("shard").cast("long").alias("child"),
+                               *keys))
+        fold_schema = "grp long, n_children int, summary binary"
+        gate_schema = ("grp long, token_gate binary, gate_m long, "
+                       "gate_k int, n_tokens long")
         lvl = 1
         while True:
-            out = (cur.withColumn("grp", F.expr(f"child div {G}"))
-                   .select("grp", "summary", "token_gate")
-                   .groupBy("grp")
-                   .applyInPandas(self._tree_fold_udf(), schema=schema))
+            folded = (cur.withColumn("grp", F.expr(f"child div {G}"))
+                      .select("grp", "summary")
+                      .groupBy("grp")
+                      .applyInPandas(self._tree_fold_udf(),
+                                     schema=fold_schema))
+            tok_lvl = None
+            if cur_tok is not None:
+                tok_lvl = (cur_tok
+                           .withColumn("grp", F.expr(f"child div {G}"))
+                           .select("grp", *keys)
+                           .dropDuplicates(["grp", *keys]))
+                gates = tok_lvl.groupBy("grp").applyInPandas(
+                    self._sized_gate_udf(), schema=gate_schema)
+                out = folded.join(gates, "grp", "left")
+            else:
+                out = (folded
+                       .withColumn("token_gate",
+                                   F.lit(None).cast("binary"))
+                       .withColumn("gate_m", F.lit(None).cast("long"))
+                       .withColumn("gate_k", F.lit(None).cast("int"))
+                       .withColumn("n_tokens", F.lit(None).cast("long")))
             level_dir = os.path.join(tmp, f"level={lvl}")
             out.write.mode("overwrite").parquet(level_dir)
             written = spark.read.parquet(level_dir)
             if written.count() <= 1:
                 break
-            cur = written.select(F.col("grp").alias("child"),
-                                 "summary", "token_gate")
+            cur = written.select(F.col("grp").alias("child"), "summary")
+            if tok_lvl is not None:
+                cur_tok = tok_lvl.select(F.col("grp").alias("child"),
+                                         *keys)
             lvl += 1
         if os.path.exists(tree_path):
             shutil.rmtree(tree_path)
@@ -978,8 +1107,12 @@ class BloomIndexWriter:
         if shards_gone:
             backend.drop_shards(path, shards_gone)
             for s in shards_gone:
-                shutil.rmtree(os.path.join(path, "slabs", f"shard={s}"),
-                              ignore_errors=True)
+                # token_hashes too: a fully-emptied shard's true token
+                # set is empty, so its stream partition must not keep
+                # inflating the group gates at the next tree rebuild
+                for sub in ("slabs", "token_hashes"):
+                    shutil.rmtree(os.path.join(path, sub, f"shard={s}"),
+                                  ignore_errors=True)
         manifest_path = os.path.join(path, "manifest")
         old_manifest = spark.read.parquet(manifest_path) \
             .localCheckpoint(eager=True)

@@ -313,6 +313,19 @@ class JvmTokenHasher:
         for r in rows:
             self._hashes[r.t] = (r.h1, r.h2)
 
+    def hash_pairs(self, tokens) -> tuple:
+        """Raw (h1s, h2s) int64 xxhash64 pairs for a token list — the
+        shape-independent inputs to gate_positions_batch, so callers can
+        probe gates of ANY shape (the manifest tree's population-sized
+        node gates each have their own m/k)."""
+        tokens = list(tokens)
+        self._ensure(tokens)
+        h1s = np.array([self._hashes[t][0] for t in tokens],
+                       dtype=np.int64)
+        h2s = np.array([self._hashes[t][1] for t in tokens],
+                       dtype=np.int64)
+        return h1s, h2s
+
     def positions(self, tokens, shape: Shape) -> np.ndarray:
         """Sorted distinct bit positions for a token set at ``shape``."""
         tokens = list(tokens)

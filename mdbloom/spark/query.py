@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from mdbloom import bits as B
 from mdbloom import kernel as K
 from mdbloom.hashing import TokenMaskCache
+from mdbloom.shape import Shape
 from mdbloom.spark.build import IndexConfig
 
 HIT_SCHEMA = "shard int, slot long"
@@ -392,62 +393,132 @@ class BloomIndexReader:
             keep &= B.contains_words(gates, *B.nonzero_words(gq))
         return sorted(int(s) for s in shards[keep])
 
-    def _descend_tree(self, plans, tree_dir: str, stats: dict):
+    def _node_gate_words(self, qid: str, m: int, k: int, qh, cache):
+        """Sparse gate word test (indices, values) for one query at an
+        ARBITRARY node gate shape — tree nodes are population-sized, so
+        each may carry its own (m, k). Recomputed from the query's raw
+        token hash pairs with the SAME per-backend math the build used
+        (jvm: gate_positions_batch; python: km_positions_matrix), so the
+        probe is bit-compatible with any node gate. Cached per
+        (query, shape) across levels."""
+        key = (qid, m, k)
+        if key not in cache:
+            h1s, h2s = qh
+            shape = Shape.from_mk(m, k)
+            if self._jvm_hasher is not None:
+                from mdbloom.spark import jvm_hash as J
+                pos = np.unique(
+                    J.gate_positions_batch(h1s, h2s, shape).ravel())
+            else:
+                from mdbloom.hashing import km_positions_matrix
+                pos = np.unique(km_positions_matrix(h1s, h2s,
+                                                    shape).ravel())
+            cache[key] = B.nonzero_words(B.from_bits(pos, m))
+        return cache[key]
+
+    # small tree levels read driver-side with pyarrow (a Spark job costs
+    # ~0.2s in scheduling alone per level — 3 levels of that exceeded
+    # the whole flat scan at 10^3 shards); big levels (the level-1 ring
+    # of a 10^6-shard index can be GBs of node gates) keep the Spark
+    # read with grp-range pushdown
+    TREE_LEVEL_DRIVER_BYTES = 64 << 20
+
+    def _read_level(self, level_dir: str, parents, G: int):
+        """One tree level as pandas, restricted to surviving parents
+        (``parents=None`` = unrestricted root read)."""
+        size = sum(os.path.getsize(os.path.join(level_dir, f))
+                   for f in os.listdir(level_dir)
+                   if f.endswith(".parquet"))
+        if size <= self.TREE_LEVEL_DRIVER_BYTES:
+            import pyarrow.parquet as pq
+            pdf = pq.read_table(level_dir).to_pandas()
+            if parents is not None:
+                if parents:
+                    keep = np.isin(pdf["grp"].to_numpy() // G,
+                                   np.asarray(parents, dtype=np.int64))
+                    pdf = pdf[keep]
+                else:
+                    pdf = pdf.iloc[0:0]
+            return pdf.reset_index(drop=True)
+        df = self.spark.read.parquet(level_dir)
+        if parents is not None:
+            df = (df.where(F.expr(f"grp div {G}").isin(parents))
+                  if parents else df.where(F.lit(False)))
+        return df.toPandas()
+
+    def _descend_tree(self, plans, qhashes: dict, tree_dir: str,
+                      stats: dict):
         """Root→leaf descent over the hierarchical manifest tree
         (``manifest_tree/``, BloomIndexWriter._write_manifest_tree): at
-        each level, evaluate every plan's sparse summary + gate word
-        tests against the level's OR-folded group rows, reading ONLY the
-        rows whose parent survived some query — the Bloofi inner-node
-        descent (`InnerNode.java:118-133`) over shard-group metadata.
+        each level, test every plan's sparse summary words against the
+        level's OR-folded group summaries AND every query token against
+        the group's POPULATION-SIZED node gate, reading ONLY the rows
+        whose parent survived some query — the Bloofi inner-node descent
+        (`InnerNode.java:118-133`) over shard-group metadata.
 
-        Returns {query id: set of surviving level-1 group ids}. Sound
-        and exact by the OR-superset property: a shard passing the leaf
-        word test implies every ancestor group passes it too (group
-        summary/gate = OR ⊇ member; a group with any gateless member
-        carries a NULL gate and conservatively passes), so restricting
-        the leaf scan to surviving groups cannot change results."""
+        Returns {query id: set of surviving level-1 group ids}. SOUND
+        for true containment: a group summary is the OR-superset of its
+        members' summaries, and a node gate is built from the group's
+        exact distinct token set (Bloom filters have no false
+        negatives), so no group holding a true match is ever pruned. A
+        node whose gate is NULL (population above tree_gate_max_m, or a
+        pre-v8 summary-only tree) conservatively passes every gate
+        test. Node gates MAY reject leaf-gate false positives — see
+        prune_shards_many_distributed for the subset contract."""
         levels = sorted(int(d.split("=", 1)[1])
                         for d in os.listdir(tree_dir)
                         if d.startswith("level="))
         G = max(2, int(self.cfg.manifest_group_size))
         surv: dict = {qid: None for qid, *_ in plans}  # None = everything
+        word_cache: dict = {}
         for lvl in reversed(levels):
-            df = self.spark.read.parquet(
-                os.path.join(tree_dir, f"level={lvl}"))
+            level_dir = os.path.join(tree_dir, f"level={lvl}")
             parents = (None if any(s is None for s in surv.values())
                        else sorted(set().union(*surv.values())))
-            if parents is not None:
-                df = (df.where(F.expr(f"grp div {G}").isin(parents))
-                      if parents else df.where(F.lit(False)))
-            pdf = df.toPandas()
+            pdf = self._read_level(level_dir, parents, G)
             stats["tree_rows_read"] += len(pdf)
             if not len(pdf):
                 return {qid: set() for qid, *_ in plans}
             grps = pdf["grp"].to_numpy()
             summaries = np.stack(
                 [np.frombuffer(b, dtype=B.U64) for b in pdf["summary"]])
+            # nodes grouped by gate shape (population-sized: each node
+            # may carry its own m/k); NULL-gate nodes pass every test
             has_gate = pdf["token_gate"].notna().to_numpy()
-            gates = None
+            if "gate_m" in pdf.columns:
+                has_gate &= pdf["gate_m"].notna().to_numpy()
+            else:
+                has_gate[:] = False  # pre-v8 tree: summary-only
+            shape_groups = []
             if has_gate.any():
-                gw = len(np.frombuffer(
-                    pdf["token_gate"][pdf.index[has_gate.argmax()]],
-                    dtype=B.U64))
-                gates = np.zeros((len(pdf), gw), dtype=B.U64)
-                gates[has_gate] = np.stack(
-                    [np.frombuffer(b, dtype=B.U64)
-                     for b in pdf["token_gate"][has_gate]])
+                by_shape: dict = {}
+                ms, ks = pdf["gate_m"].to_numpy(), pdf["gate_k"].to_numpy()
+                for i in np.flatnonzero(has_gate):
+                    by_shape.setdefault(
+                        (int(ms[i]), int(ks[i])), []).append(int(i))
+                for (m, k), rows in by_shape.items():
+                    gmat = np.stack(
+                        [np.frombuffer(pdf["token_gate"].iloc[i],
+                                       dtype=B.U64) for i in rows])
+                    shape_groups.append((m, k, np.asarray(rows), gmat))
             new_surv = {}
             for qid, sidx, sval, gidx, gval in plans:
                 keep = B.contains_words(summaries, sidx, sval)
-                if gates is not None and gidx.size:
-                    keep &= B.contains_words(gates, gidx, gval) | ~has_gate
-                ks = grps[keep]
+                qh = qhashes.get(qid)
+                if qh is not None and shape_groups:
+                    gpass = np.ones(len(pdf), dtype=bool)
+                    for m, k, rows, gmat in shape_groups:
+                        widx, wval = self._node_gate_words(
+                            qid, m, k, qh, word_cache)
+                        gpass[rows] = B.contains_words(gmat, widx, wval)
+                    keep &= gpass
+                ks_surv = grps[keep]
                 prev = surv[qid]
                 if prev is not None:
                     parent_arr = (np.fromiter(prev, dtype=np.int64)
                                   if prev else np.array([], dtype=np.int64))
-                    ks = ks[np.isin(ks // G, parent_arr)]
-                new_surv[qid] = set(int(g) for g in ks)
+                    ks_surv = ks_surv[np.isin(ks_surv // G, parent_arr)]
+                new_surv[qid] = set(int(g) for g in ks_surv)
             surv = new_surv
         stats["levels_descended"] = len(levels)
         return surv
@@ -474,21 +545,29 @@ class BloomIndexReader:
         tree (:meth:`_descend_tree`) and restricts the leaf scan to the
         union of surviving shard GROUPS, so a batch whose tokens are
         absent from whole groups never reads those groups' per-shard
-        gates at all. Results are bit-identical with or without the
-        tree (OR-superset property). ``return_stats=True`` additionally
-        returns {levels_descended, tree_rows_read, leaf_rows_scanned}.
+        gates at all. SUBSET CONTRACT: the tree's population-sized node
+        gates are exact supersets of TRUE token membership, so no shard
+        containing a true match is ever lost — but they are SHARPER
+        than the fixed-shape leaf gates, so a shard the flat scan keeps
+        only via a leaf-gate false positive may be pruned. Tree results
+        are therefore a sound subset of the flat results (equal up to
+        leaf-gate FPs); verified/search answers are identical either
+        way. ``return_stats=True`` additionally returns
+        {levels_descended, tree_rows_read, leaf_rows_scanned}.
 
         ``queries`` maps query id -> token list (empty list = match-all,
         as in :meth:`prune_shards`). Returns {query id: sorted shard
-        list}, bit-identical to looping :meth:`prune_shards` when every
-        manifest row carries a gate (a null-gate row conservatively
-        passes the gate test for that shard alone, where the driver path
-        disables the gate globally)."""
+        list}; with ``use_tree=False`` bit-identical to looping
+        :meth:`prune_shards` when every manifest row carries a gate (a
+        null-gate row conservatively passes the gate test for that shard
+        alone, where the driver path disables the gate globally); with
+        the tree, the sound subset per the contract above."""
         import pandas as pd
 
         empty_idx = np.array([], dtype=np.int64)
         empty_val = np.array([], dtype=B.U64)
         plans = []
+        qhashes: dict = {}  # raw token hash pairs, for tree node gates
         for qid, toks in queries.items():
             toks = list(toks)
             qbits = self.query_bits(toks)
@@ -498,8 +577,14 @@ class BloomIndexReader:
                 sidx, sval = empty_idx, empty_val
             if toks:
                 gidx, gval = B.nonzero_words(self._gate_filter(toks))
+                if self._jvm_hasher is not None:
+                    qhashes[str(qid)] = self._jvm_hasher.hash_pairs(toks)
+                else:
+                    from mdbloom.hashing import hash_unique_tokens
+                    qhashes[str(qid)] = hash_unique_tokens(toks)
             else:
                 gidx, gval = empty_idx, empty_val
+                qhashes[str(qid)] = None
             plans.append((str(qid), sidx, sval, gidx, gval))
         man = self.spark.read.parquet(
             os.path.join(self.path, "manifest")).select(
@@ -511,10 +596,15 @@ class BloomIndexReader:
                  "leaf_rows_scanned": 0}
         if use_tree:
             G = max(2, int(self.cfg.manifest_group_size))
-            surv = self._descend_tree(plans, tree_dir, stats)
+            surv = self._descend_tree(plans, qhashes, tree_dir, stats)
             union = sorted(set().union(*surv.values())) if surv else []
             man = (man.where(F.expr(f"shard div {G}").isin(union))
                    if union else man.where(F.lit(False)))
+            # the leaf scan is restricted to the BATCH UNION of surviving
+            # groups (one scan for all queries); the per-query average is
+            # the planning bound a single query enjoys
+            stats["per_query_leaf_rows_avg"] = (
+                G * sum(len(s) for s in surv.values()) / max(1, len(surv)))
         if return_stats:
             stats["leaf_rows_scanned"] = man.count()
         bc = self.spark.sparkContext.broadcast(plans)

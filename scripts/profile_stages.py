@@ -65,7 +65,10 @@ t("slab_write", lambda: (stored
     .mapInPandas(w._slab_mapper(), schema=SLAB_SCHEMA)
     .write.mode("overwrite").partitionBy("shard")
     .parquet(os.path.join(idx, "slabs"))))
-t("token_gate", lambda: w.token_gate_df(tdf).count())
+t("token_stream", lambda: w._write_token_hashes(
+    w._token_stream_df(tdf), idx))
+t("token_gate", lambda: w.token_gate_df(
+    spark.read.parquet(os.path.join(idx, "token_hashes"))).count())
 slabs_rd = spark.read.parquet(os.path.join(idx, "slabs"))
 t("manifest_agg", lambda: (slabs_rd.groupBy("shard")
     .applyInPandas(w._manifest_udf(), schema=MANIFEST_SCHEMA).count()))

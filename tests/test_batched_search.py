@@ -2,6 +2,7 @@
 searches, tagged by query name."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from mdbloom.spark.build import BloomIndexWriter, IndexConfig
 from mdbloom.spark.query import BloomIndexReader
@@ -346,7 +347,9 @@ def test_prune_shards_many_distributed_matches_driver(spark, reader):
     """The one-job distributed manifest prune (the past-driver-scale
     planning path, README 100 TB sizing) must return bit-identical shard
     lists to the driver-matrix prune_shards loop — including the
-    empty-token match-all and a no-survivor query."""
+    empty-token match-all and a no-survivor query. use_tree=False pins
+    the flat path: it is the one with the bit-identity contract (the
+    tree descent is a sound SUBSET, tested separately)."""
     queries = {
         "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
         "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
@@ -354,7 +357,7 @@ def test_prune_shards_many_distributed_matches_driver(spark, reader):
         "absent": ["tok=zzznope", "tok=zzznope2"],
         7: reader.transcript_query_tokens("user", None, ["w00000"]),
     }
-    got = reader.prune_shards_many_distributed(queries)
+    got = reader.prune_shards_many_distributed(queries, use_tree=False)
     assert set(got) == set(queries)
     for qid, toks in queries.items():
         want = reader.prune_shards(reader.query_bits(list(toks)),
@@ -421,11 +424,32 @@ def test_manifest_tree_levels_written(tree_reader):
     assert levels == ["level=1", "level=2", "level=3"]
 
 
-def test_prune_tree_matches_flat_and_driver(spark, tree_reader):
-    """Hierarchical descent must return bit-identical shard lists to the
-    flat distributed scan AND the driver-matrix loop — the OR-superset
-    property makes group restriction lossless (VERDICT r3 item 6)."""
+def _true_shards(spark, df, n_shards, role, tool, words):
+    """Shards that TRULY contain a (role, tool, words) match — the set no
+    sound pruner may ever drop a member of."""
+    w = F.split(F.trim("text"), r"\s+")
+    cond = F.lit(True)
+    if role is not None:
+        cond = cond & (F.col("role") == role)
+    if tool is not None:
+        cond = cond & (F.col("tool") == tool)
+    for x in words or []:
+        cond = cond & F.array_contains(w, x)
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"),
+                        F.lit(n_shards)).cast("int"))
+    return {int(r.shard) for r in
+            sharded.where(cond).select("shard").distinct().collect()}
+
+
+def test_prune_tree_sound_subset_of_flat(spark, tree_reader):
+    """Tree descent contract: per query a SUBSET of the flat scan (the
+    population-sized node gates are sharper than the fixed-shape leaf
+    gates, so leaf-gate false positives may be pruned), and SOUND — no
+    shard that truly contains a match is ever dropped (node gates are
+    built from exact token sets; Bloom has no false negatives)."""
     r = tree_reader
+    df = synthesize_transcripts(spark, 3000, seed=7)
     queries = {
         "a": r.transcript_query_tokens("assistant", None, ["w00001"]),
         "b": r.transcript_query_tokens(None, "Bash", ["w00005"]),
@@ -436,26 +460,114 @@ def test_prune_tree_matches_flat_and_driver(spark, tree_reader):
     flat = r.prune_shards_many_distributed(queries, use_tree=False)
     tree, stats = r.prune_shards_many_distributed(
         queries, use_tree=True, return_stats=True)
-    assert tree == flat
-    assert stats["levels_descended"] == 3
-    for qid, toks in queries.items():
-        assert tree[qid] == r.prune_shards(
-            r.query_bits(list(toks)), list(toks)), qid
+    for qid in queries:
+        assert set(tree[qid]) <= set(flat[qid]), qid
+    # match-all carries no tokens: gates never engage, exact equality
+    assert tree["every"] == flat["every"] == sorted(
+        int(s) for s in r.manifest()["shard"])
+    assert tree["absent"] == []
+    # soundness against ground truth recomputed from the source table
+    specs = {"a": ("assistant", None, ["w00001"]),
+             "b": (None, "Bash", ["w00005"]),
+             "rare": ("user", "Grep", ["w00000"])}
+    for qid, (role, tool, words) in specs.items():
+        truth = _true_shards(spark, df, 32, role, tool, words)
+        assert truth <= set(tree[qid]), qid
 
 
-def test_prune_tree_skips_leaf_rows_for_pruned_groups(spark, tree_reader):
-    """A batch whose tokens are absent from whole shard groups must never
-    read those groups' leaf manifest rows (the planned-scan reduction the
-    tree exists for)."""
+def test_prune_tree_absent_token_rejected_at_root(spark, tree_reader):
+    """An absent token must die at the ROOT: the root node gate is sized
+    for the whole corpus vocabulary (tiny here), so the descent reads
+    exactly one tree row and ZERO leaf manifest rows — the regression
+    the v7 OR-folded gates failed (saturated upper levels passed
+    everything; measured 0% leaf reduction at 1024 shards)."""
     r = tree_reader
     res, stats = r.prune_shards_many_distributed(
         {"x": ["tok=zzznope"], "y": ["tok=zzqnever"]},
         use_tree=True, return_stats=True)
     assert res == {"x": [], "y": []}
-    n_shards = len(r.manifest())
-    assert stats["leaf_rows_scanned"] < n_shards
+    assert stats["tree_rows_read"] == 1
+    assert stats["leaf_rows_scanned"] == 0
     # flat path scans every leaf row for the same batch
+    n_shards = len(r.manifest())
     _, flat_stats = r.prune_shards_many_distributed(
         {"x": ["tok=zzznope"], "y": ["tok=zzqnever"]},
         use_tree=False, return_stats=True)
     assert flat_stats["leaf_rows_scanned"] == n_shards
+
+
+def test_tree_gates_population_sized_and_capped(spark, tmp_path):
+    """Tree node gates are sized from each node's own distinct-token
+    population; a node whose population needs m above tree_gate_max_m
+    stores a NULL gate and conservatively passes (descent stays sound,
+    it just prunes less)."""
+    import os
+    df = synthesize_transcripts(spark, 1200, seed=11)
+    # tiny cap: EVERY node exceeds it -> all tree gates NULL
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256, manifest_group_size=2,
+                      tree_gate_max_m=64)
+    path = str(tmp_path / "capped")
+    BloomIndexWriter(spark, cfg).build(df, path)
+    r = BloomIndexReader(spark, path)
+    lvl1 = spark.read.parquet(
+        os.path.join(path, "manifest_tree", "level=1")).toPandas()
+    assert lvl1["token_gate"].isna().all()
+    assert lvl1["gate_m"].isna().all()
+    # NULL gates pass everything: tree == flat exactly (summary-only)
+    queries = {"a": r.transcript_query_tokens("assistant", None,
+                                              ["w00001"]),
+               "absent": ["tok=zzznope"]}
+    assert (r.prune_shards_many_distributed(queries, use_tree=True)
+            == r.prune_shards_many_distributed(queries, use_tree=False))
+    # normal cap: gates present, sized to the node population (m grows
+    # with distinct tokens, k fixed by the probability)
+    cfg2 = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                       chunk_slots=256, manifest_group_size=2)
+    path2 = str(tmp_path / "sized")
+    BloomIndexWriter(spark, cfg2).build(df, path2)
+    l1 = spark.read.parquet(
+        os.path.join(path2, "manifest_tree", "level=1")).toPandas()
+    l2 = spark.read.parquet(
+        os.path.join(path2, "manifest_tree", "level=2")).toPandas()
+    assert l1["token_gate"].notna().all()
+    # parent vocabulary >= any child's -> parent gate m >= child gate m
+    assert int(l2["gate_m"].max()) >= int(l1["gate_m"].max())
+    from mdbloom.shape import Shape
+    for _, row in l1.iterrows():
+        want = Shape.from_np(max(1, int(row["n_tokens"])), 1e-3)
+        assert int(row["gate_m"]) == want.m
+        assert int(row["gate_k"]) == want.k
+
+
+def test_tree_rebuilt_on_incremental_add(spark, tmp_path):
+    """Incremental build(resume=True) with NEW rows must refresh the
+    tree gates from the token_hashes/ artifact so tokens that exist only
+    in the new rows survive the descent — carrying gates over would
+    underclaim and silently drop true matches."""
+    path = str(tmp_path / "incr")
+    full = synthesize_transcripts(spark, 2400, seed=13)
+    shard_of = F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+    # the added rows land in shard 0 ONLY (the other 7 shards must skip),
+    # and carry a sentinel token that exists nowhere else
+    half1 = full.where(shard_of != 0)
+    half2 = (full.where(shard_of == 0)
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(" zzsentinel"))))
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=256, manifest_group_size=2)
+    w = BloomIndexWriter(spark, cfg)
+    w.build(half1, path)
+    r0 = BloomIndexReader(spark, path)
+    assert r0.prune_shards_many_distributed(
+        {"s": ["tok=zzsentinel"]}, use_tree=True)["s"] == []
+    # incremental: clean shards skip, the dirty shard rebuilds, tree
+    # gates recomputed from the merged token_hashes/ stream
+    res = w.build(half1.unionByName(half2), path, resume=True)
+    assert res["built"] >= 1 and res["skipped"] >= 6
+    r = BloomIndexReader(spark, path)
+    truth = _true_shards(spark, half2, 8, None, None, ["zzsentinel"])
+    assert truth  # the sentinel exists somewhere
+    got = set(r.prune_shards_many_distributed(
+        {"s": ["tok=zzsentinel"]}, use_tree=True)["s"])
+    assert truth <= got
