@@ -271,12 +271,19 @@ def main():
     canaries = []
     for rep in range(N_REPS):
         for cores in (N_LOW, N_HIGH):
-            canaries.append(round(wait_healthy(), 1))
+            # Gate on the SUSTAINED probe, not just the scatter canary:
+            # hunt-c#11/#12 showed the scatter probe reads healthy while
+            # the sustained 8-thread stream has collapsed, and a pair
+            # captured that way (build eff 0.39, 32-core reps 47.9 s vs
+            # 71.9 s against a known-healthy 26.4 s) is protocol-invalid.
+            canaries.append(round(wait_healthy(min_parallel_ratio=2.5), 1))
             r = run(cores)
             r["canary_ms"] = canaries[-1]
+            r["bw_after"] = bandwidth_health()
             runs[cores].append(r)
             print(f"rep{rep} local[{cores}]: build {r['build_sec']:.1f}s "
-                  f"query {r['query_sec']:.1f}s (canary {r['canary_ms']}ms)",
+                  f"query {r['query_sec']:.1f}s (canary {r['canary_ms']}ms,"
+                  f" bw_after {r['bw_after']})",
                   file=sys.stderr)
     hits = {r["hits"] for rs in runs.values() for r in rs}
     assert len(hits) == 1, f"same input must give same results: {hits}"
@@ -318,8 +325,10 @@ seed=42, 256 shards, 128 input files), identical code, two parallelism
 levels in separate Spark sessions, each pinned with `taskset` to exactly
 its core budget, warmed up before timing. {N_REPS} interleaved reps per
 level, best throughput per level reported (the sandbox host shows
-episodic memory-bandwidth collapse from co-tenants — see the canary
-protocol in scripts/scaling_bench.py; all reps: {report['all_build_sec']},
+episodic memory-bandwidth collapse from co-tenants — every timed run is
+gated on BOTH the scatter canary and the sustained 8-thread bandwidth
+probe, ratio >= 2.5 and >= 10 GB/s; see scripts/scaling_bench.py; all
+reps: {report['all_build_sec']},
 canaries {report['canaries_ms']} ms). Same query results at every level
 and rep (hits={lo['hits']}).
 

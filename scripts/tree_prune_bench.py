@@ -23,8 +23,11 @@ empty exactly when flat is empty for absent tokens.
 Planned-scan counts are DETERMINISTIC (no host-window caveat applies);
 wall times are single-window and reported as such per BENCH.md protocol.
 
-Usage: taskset -c 0-31 python scripts/tree_prune_bench.py [n_turns]
+Usage: taskset -c 0-31 python scripts/tree_prune_bench.py [n_turns] [n_shards]
 Writes one JSON line to stdout; paste the summary into BENCH.md.
+``n_shards`` defaults to 1024; pass 8192 for the ~10^4-shard regime
+where BENCH.md claims the descent constant amortizes — the flat
+manifest scan grows 8x while the descent reads only surviving groups.
 """
 import json
 import os
@@ -36,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     from pyspark.sql import functions as F
     from mdbloom.spark.session import get_spark
     from mdbloom.spark.build import BloomIndexWriter, IndexConfig
@@ -43,7 +47,7 @@ def main():
     from mdbloom.spark.transcripts import synthesize_transcripts
 
     spark = get_spark()
-    cfg = IndexConfig(n_per_record=41, probability=1e-3, n_shards=1024,
+    cfg = IndexConfig(n_per_record=41, probability=1e-3, n_shards=n_shards,
                       chunk_slots=65536, manifest_group_size=16)
     import hashlib
     ckey = hashlib.md5((cfg.to_json() + f"v2:{n_turns}").encode()) \
