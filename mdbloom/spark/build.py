@@ -681,7 +681,8 @@ class BloomIndexWriter:
             if removed_shards:
                 # nothing to rebuild, but the manifest must still shed the
                 # removed shards' rows
-                self._write_manifest(old_manifest, manifest_path)
+                self._write_manifest(old_manifest, manifest_path,
+                                     dirty_shards=removed_shards)
             return {"built": 0, "skipped": len(skip_shards),
                     "removed": len(removed_shards),
                     "rows": 0, "sec": time.monotonic() - t0}
@@ -771,9 +772,14 @@ class BloomIndexWriter:
         if old_manifest is not None and skip_shards:
             manifest_all = manifest_new.unionByName(
                 old_manifest.where(F.col("shard").isin(skip_shards)))
+            # incremental resume: the tree refresh only needs to touch
+            # the shards this run rebuilt or removed
+            tree_dirty = sorted(set(build_shards) | set(removed_shards))
         else:
             manifest_all = manifest_new
-        self._write_manifest(manifest_all, manifest_path)
+            tree_dirty = None
+        self._write_manifest(manifest_all, manifest_path,
+                             dirty_shards=tree_dirty)
         _mark("manifest_gate_write")
 
         with open(os.path.join(path, "config.json"), "w") as f:
@@ -784,19 +790,23 @@ class BloomIndexWriter:
                 "rows": int(n_rows), "sec": time.monotonic() - t0,
                 "phases": phases}
 
-    def _write_manifest(self, mdf: DataFrame, manifest_path: str) -> None:
+    def _write_manifest(self, mdf: DataFrame, manifest_path: str,
+                        dirty_shards: list | None = None) -> None:
         """Small table: single file, overwritten atomically via
         temp+rename. repartition(1), NOT coalesce(1): coalesce would
         propagate the 1-task constraint upstream into the gate/manifest
         computation. Every leaf-manifest write refreshes the manifest
-        TREE beside it, so the two artifacts can never desynchronize."""
+        TREE beside it, so the two artifacts can never desynchronize.
+        ``dirty_shards`` (the shards this write actually changed, when the
+        caller knows them — resume/compact) enables the INCREMENTAL tree
+        refresh instead of the full rebuild."""
         import shutil
         tmp = manifest_path + "_tmp"
         mdf.repartition(1).write.mode("overwrite").parquet(tmp)
         if os.path.exists(manifest_path):
             shutil.rmtree(manifest_path)
         os.rename(tmp, manifest_path)
-        self._write_manifest_tree(manifest_path)
+        self._write_manifest_tree(manifest_path, dirty_shards=dirty_shards)
 
     @staticmethod
     def _tree_fold_udf():
@@ -847,7 +857,23 @@ class BloomIndexWriter:
                                   "n_tokens": n}])
         return build
 
-    def _write_manifest_tree(self, manifest_path: str) -> None:
+    # incremental tree refresh: a node whose gate fill ratio (popcount/m)
+    # exceeds this after token insertion is rebuilt EXACTLY, resized for
+    # its current population (an optimally-sized gate sits at ~0.5 fill;
+    # 0.6 allows ~30% population growth before the node pays a rebuild,
+    # and the gate FPR at 0.6 fill, 0.6^k, is still negligible for the
+    # k>=10 shapes this engine uses)
+    TREE_FILL_REBUILD = 0.6
+    # incremental refresh only pays when the dirty set is small: past a
+    # quarter of the shards, the full rebuild is cheaper AND sharper
+    # (inserted upper gates carry stale bits until their next rebuild)
+    TREE_INCREMENTAL_MAX_FRAC = 0.25
+    # how the last manifest-tree write ran ("incremental" | "full") —
+    # introspection for tests and build diagnostics
+    _last_tree_mode: str | None = None
+
+    def _write_manifest_tree(self, manifest_path: str,
+                             dirty_shards: list | None = None) -> None:
         """Hierarchical pruning tree over the shard manifest
         (``manifest_tree/``): level 1 groups ``manifest_group_size``
         shards per row, level l+1 groups level l's rows the same way, up
@@ -866,7 +892,7 @@ class BloomIndexWriter:
         positives the flat scan keeps (subset semantics — documented on
         prune_shards_many_distributed).
 
-        Rebuilt on EVERY manifest write, so the two artifacts cannot
+        Refreshed on EVERY manifest write, so the two artifacts cannot
         desynchronize. Remove/compact refreshes rebuild from the
         then-current token stream, which removals leave untouched — a
         stale SUPERSET (deleted rows' tokens linger until their shard is
@@ -876,8 +902,23 @@ class BloomIndexWriter:
         shrink by G per step, costing one log-shrinking pass over the
         stream each (L = log_G(shards) levels total). Indexes without a
         token_hashes/ artifact (pre-v8) get summary-only trees with NULL
-        gates. Atomic tmp+rename like the manifest itself."""
+        gates. Atomic tmp+rename like the manifest itself.
+
+        When the caller supplies ``dirty_shards`` (resume/compact know
+        exactly which shards they touched) and the dirty set is a small
+        fraction of the index, the refresh is INCREMENTAL
+        (:meth:`_refresh_manifest_tree`): the L full passes over the
+        token stream above become partition-pruned reads of the dirty
+        shards (plus their level-1 group siblings) only — at 100 TB a
+        1%-dirty resume no longer pays a full-corpus metadata rebuild.
+        Sets ``self._last_tree_mode`` to "incremental" or "full"."""
         import shutil
+        if dirty_shards is not None:
+            dirty = sorted({int(s) for s in dirty_shards})
+            if self._refresh_manifest_tree(manifest_path, dirty):
+                self._last_tree_mode = "incremental"
+                return
+        self._last_tree_mode = "full"
         spark = self.spark
         G = max(2, int(self.cfg.manifest_group_size))
         root = os.path.dirname(manifest_path)
@@ -933,6 +974,223 @@ class BloomIndexWriter:
         if os.path.exists(tree_path):
             shutil.rmtree(tree_path)
         os.rename(tmp, tree_path)
+
+    def _delta_gate_udf(self, shapes: dict):
+        """Gate-width bitmap of ONE upper node's candidate-new tokens at
+        the node's EXISTING stored shape — the insert half of the
+        incremental tree refresh. ORed into the stored gate driver-side;
+        same per-backend position math as :meth:`_sized_gate_udf`, so
+        inserted bits stay query-compatible."""
+        jvm = self.cfg.hash_backend == "jvm"
+        gate_positions = self._gate_positions
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            grp = int(pdf["grp"].iloc[0])
+            m, k = shapes[grp]
+            shape = Shape.from_mk(int(m), int(k))
+            gate = B.zeros(shape.m)
+            B.set_bits(gate, gate_positions(pdf, shape, jvm))
+            return pd.DataFrame([{"grp": grp, "delta": B.to_bytes(gate)}])
+        return build
+
+    def _refresh_manifest_tree(self, manifest_path: str,
+                               dirty: list) -> bool:
+        """Incrementally refresh ``manifest_tree/`` for a known dirty
+        shard set; returns False (caller falls back to the full rebuild)
+        when no compatible v8 tree exists, the dirty fraction is large,
+        or the update would deepen the tree.
+
+        Per level, bottom-up:
+          * **summaries + n_children: exact** for every affected node —
+            re-folded from the (already-updated) level below, which is a
+            small metadata table at every level;
+          * **level-1 gates: exact** — rebuilt population-sized from a
+            partition-pruned ``token_hashes/`` read of the affected
+            groups' MEMBER shards only (|groups(dirty)| × G shards, not
+            all of them), so the sharpest level never goes stale;
+          * **upper-level gates: insert-only** — the dirty shards'
+            distinct tokens are hashed at each stored node's own
+            (gate_m, gate_k) into a delta bitmap (one Spark pass over the
+            dirty partitions per level) and ORed in driver-side. The
+            result is a sound SUPERSET of the node's true token set: new
+            tokens are all present (no false negatives — the property
+            the descent requires), while tokens REMOVED by the rebuild
+            linger until the node's next exact rebuild, exactly the
+            staleness contract remove/compact already document. A node
+            whose fill ratio then exceeds TREE_FILL_REBUILD — or that has
+            no stored row (a brand-new subtree) — is rebuilt EXACTLY and
+            resized from the full token stream of the shards under it
+            (geometric in level, but triggered only by real growth);
+            NULL-gate nodes (population above tree_gate_max_m) stay NULL.
+
+        The per-node sizing population ``n_tokens`` keeps its value from
+        the last exact rebuild on inserted nodes (the query descent reads
+        only grp/summary/token_gate/gate_m/gate_k, so staleness there is
+        advisory). Levels are written to a tmp dir and swapped like the
+        full rebuild. Pruning parity is tested superset-side:
+        incremental-tree shard lists ⊇ exact-rebuilt-tree lists and
+        ⊆ flat-manifest lists, with every true match retained."""
+        import shutil
+        spark, cfg = self.spark, self.cfg
+        G = max(2, int(cfg.manifest_group_size))
+        root = os.path.dirname(manifest_path)
+        tree_path = os.path.join(root, "manifest_tree")
+        tok_dir = os.path.join(root, "token_hashes")
+        if (not dirty or not os.path.isdir(tree_path)
+                or not os.path.isdir(tok_dir)):
+            return False
+        if len(dirty) > max(1, int(cfg.n_shards
+                                   * self.TREE_INCREMENTAL_MAX_FRAC)):
+            return False
+        levels = sorted(int(d.split("=", 1)[1])
+                        for d in os.listdir(tree_path)
+                        if d.startswith("level="))
+        if not levels or levels != list(range(1, len(levels) + 1)):
+            return False
+        keys = self._stream_keys
+        fold_schema = "grp long, n_children int, summary binary"
+        gate_schema = ("grp long, token_gate binary, gate_m long, "
+                       "gate_k int, n_tokens long")
+        level_schema = ("grp long, n_children int, summary binary, "
+                        "token_gate binary, gate_m long, gate_k int, "
+                        "n_tokens long")
+        tmp = tree_path + "_tmpinc"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def exact_nodes(grps: list, lvl: int):
+            """(grp, token_gate, gate_m, gate_k, n_tokens) rebuilt
+            population-sized from the FULL token stream of the shards
+            under each node — partition-pruned to those shards."""
+            span = G ** lvl
+            # range predicates directly on the partition column so the
+            # read lists only the member shards' directories (a filter on
+            # the derived grp alias is not guaranteed to partition-prune)
+            cond = None
+            for g in grps:
+                c = (F.col("shard") >= int(g) * span) & \
+                    (F.col("shard") < (int(g) + 1) * span)
+                cond = c if cond is None else (cond | c)
+            return (spark.read.parquet(tok_dir)
+                    .where(cond)
+                    .withColumn("grp", F.expr(f"shard div {span}"))
+                    .select("grp", *keys)
+                    .dropDuplicates(["grp", *keys])
+                    .groupBy("grp")
+                    .applyInPandas(self._sized_gate_udf(),
+                                   schema=gate_schema))
+
+        affected = sorted({s // G for s in dirty})
+        prev_dir = None
+        for lvl in levels:
+            old_dir = os.path.join(tree_path, f"level={lvl}")
+            old = spark.read.parquet(old_dir)
+            if "gate_m" not in old.columns:  # pre-v8 summary-only tree
+                shutil.rmtree(tmp, ignore_errors=True)
+                return False
+            if lvl == 1:
+                children = (spark.read.parquet(manifest_path)
+                            .select(F.col("shard").cast("long")
+                                    .alias("child"), "summary"))
+            else:
+                children = (spark.read.parquet(prev_dir)
+                            .select(F.col("grp").alias("child"),
+                                    "summary"))
+            folded = (children
+                      .where(F.expr(f"child div {G}").isin(affected))
+                      .withColumn("grp", F.expr(f"child div {G}"))
+                      .select("grp", "summary")
+                      .groupBy("grp")
+                      .applyInPandas(self._tree_fold_udf(),
+                                     schema=fold_schema))
+            if lvl == 1:
+                repl = folded.join(exact_nodes(affected, lvl),
+                                   "grp", "left")
+            else:
+                fold_pdf = folded.toPandas()  # |affected| small rows
+                old_aff = old.where(
+                    F.col("grp").isin(affected)).toPandas()
+                meta = {int(r["grp"]): r for _, r in old_aff.iterrows()}
+                live = set(int(g) for g in fold_pdf["grp"])
+                span = G ** lvl
+                # NULL gate_m arrives as NaN (pandas float-upcasts
+                # nullable longs) — pd.notna, not `is not None`
+                insertable = {g: (int(meta[g]["gate_m"]),
+                                  int(meta[g]["gate_k"]))
+                              for g in live
+                              if g in meta
+                              and meta[g]["token_gate"] is not None
+                              and pd.notna(meta[g]["gate_m"])}
+                deltas = {}
+                if insertable:
+                    dd = (spark.read.parquet(tok_dir)
+                          .where(F.col("shard").isin(dirty))
+                          .withColumn("grp", F.expr(f"shard div {span}"))
+                          .where(F.col("grp").isin(
+                              [int(g) for g in insertable]))
+                          .select("grp", *keys)
+                          .dropDuplicates(["grp", *keys])
+                          .groupBy("grp")
+                          .applyInPandas(self._delta_gate_udf(insertable),
+                                         schema="grp long, delta binary")
+                          .toPandas())
+                    deltas = {int(r["grp"]): r["delta"]
+                              for _, r in dd.iterrows()}
+                rebuild, rows = [], []
+                for _, fr in fold_pdf.iterrows():
+                    g = int(fr["grp"])
+                    if g not in meta:
+                        rebuild.append(g)  # brand-new subtree
+                        continue
+                    m = meta[g]
+                    gate, gm, gk, nt = (m["token_gate"], m["gate_m"],
+                                        m["gate_k"], m["n_tokens"])
+                    if gate is not None and g in deltas:
+                        merged = (np.frombuffer(gate, dtype=B.U64)
+                                  | np.frombuffer(deltas[g], dtype=B.U64))
+                        if (B.cardinality(merged) / int(gm)
+                                > self.TREE_FILL_REBUILD):
+                            rebuild.append(g)
+                            continue
+                        gate = merged.tobytes()
+                    rows.append({"grp": g,
+                                 "n_children": int(fr["n_children"]),
+                                 "summary": bytes(fr["summary"]),
+                                 "token_gate": (None if gate is None
+                                                else bytes(gate)),
+                                 "gate_m": (None if pd.isna(gm)
+                                            else int(gm)),
+                                 "gate_k": (None if pd.isna(gk)
+                                            else int(gk)),
+                                 "n_tokens": (None if pd.isna(nt)
+                                              else int(nt))})
+                repl = spark.createDataFrame([], level_schema)
+                if rows:
+                    repl = repl.unionByName(spark.createDataFrame(
+                        pd.DataFrame(rows,
+                                     columns=["grp", "n_children",
+                                              "summary", "token_gate",
+                                              "gate_m", "gate_k",
+                                              "n_tokens"]),
+                        schema=level_schema))
+                if rebuild:
+                    repl = repl.unionByName(
+                        folded.where(F.col("grp").isin(rebuild))
+                        .join(exact_nodes(rebuild, lvl), "grp", "left"))
+            new_level = (old.where(~F.col("grp").isin(affected))
+                         .unionByName(repl.select(*old.columns)))
+            out_dir = os.path.join(tmp, f"level={lvl}")
+            new_level.write.mode("overwrite").parquet(out_dir)
+            prev_dir = out_dir
+            affected = sorted({g // G for g in affected})
+        top = spark.read.parquet(prev_dir)
+        if top.count() > 1:
+            # growth deepened the tree — structural change, full rebuild
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        if os.path.exists(tree_path):
+            shutil.rmtree(tree_path)
+        os.rename(tmp, tree_path)
+        return True
 
     # ---------------- deletes (C4 at scale) ----------------
     #
@@ -1134,7 +1392,8 @@ class BloomIndexWriter:
             manifest_all = keep.unionByName(fresh)
         else:
             manifest_all = keep
-        self._write_manifest(manifest_all, manifest_path)
+        self._write_manifest(manifest_all, manifest_path,
+                             dirty_shards=sorted(dirty))
         shutil.rmtree(tomb, ignore_errors=True)
         return {"built": len(shards_live), "removed": len(shards_gone),
                 "skipped": cfg.n_shards - len(dirty),
