@@ -1007,6 +1007,55 @@ def q42_tree_pruned_search(spark, sf_dir):
             .orderBy("query", "conv_id", "turn_idx"))
 
 
+def q43_incremental_resume_search(spark, sf_dir):
+    """Resume + INCREMENTAL manifest-tree refresh end-to-end (the
+    reference's container is mutable in place, `ContainerImpl.java:
+    109-132` put; at lake scale mutation = rebuild-the-dirty-shards,
+    `BloomIndexWriter.build(resume=True)` + `_refresh_manifest_tree`):
+    build the index WITHOUT one shard's rows, resume-build on the full
+    table (exactly one dirty shard rebuilds; the pruning tree refreshes
+    incrementally — level-1 exact, upper gates insert-only at stored
+    shapes), then answer a batched search through the TREE descent.
+    A stale tree that failed to absorb the resumed shard's tokens would
+    prune it and drop its rows — breaking the oracle's value hash. Both
+    builds run every invocation (shard 3 cycles subset -> full), so the
+    query is deterministic and idempotent across runs."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=32,
+                      chunk_slots=4096, manifest_group_size=4)
+    ckey = hashlib.md5((cfg.to_json() + "q43").encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"resume_idx_{ckey}")
+    w = BloomIndexWriter(spark, cfg)
+    shard_of = F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int")
+    w.build(df.where(shard_of != 3), path, resume=True)
+    w.build(df, path, resume=True)  # 1 dirty shard of 32 -> incremental
+    r = BloomIndexReader(spark, path)
+    qs = {"bash_w2": r.transcript_query_tokens("assistant", "Bash",
+                                               ["w00002"]),
+          "user_w4": r.transcript_query_tokens("user", None, ["w00004"])}
+    surv = r.prune_shards_many_distributed(qs, use_tree=True)
+    store = r.storage().select("shard", "conv_id", "turn_idx")
+    parts = []
+    for name in sorted(qs):
+        shards = surv[name]
+        cand = (store.where(F.col("shard").isin(shards)) if shards
+                else store.where(F.lit(False)))
+        parts.append(cand.withColumn("query", F.lit(name)))
+    cand = parts[0].unionByName(parts[1]) \
+        .join(df, ["conv_id", "turn_idx"])
+    words = F.split(F.trim("text"), r"\s+")
+    verified = cand.where(
+        ((F.col("query") == "bash_w2") & (F.col("role") == "assistant")
+         & (F.col("tool") == "Bash") & F.array_contains(words, "w00002"))
+        | ((F.col("query") == "user_w4") & (F.col("role") == "user")
+           & F.array_contains(words, "w00004")))
+    return (verified.select("query", "conv_id", "turn_idx", "role", "tool")
+            .orderBy("query", "conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1051,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_container_counts": q40_container_counts,
         "q41_shape_math": q41_shape_math,
         "q42_tree_pruned_search": q42_tree_pruned_search,
+        "q43_incremental_resume_search": q43_incremental_resume_search,
     }
 
 
@@ -1653,6 +1703,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE role = 'user'
                   AND list_contains(ws, 'w00000')
                   AND list_contains(ws, 'w00003'))
+            ORDER BY query, conv_id, turn_idx
+        """,
+        # q43: resume + incremental tree refresh — the final index state
+        # must equal a from-scratch index over the full table, and the
+        # incrementally-refreshed tree must not prune the resumed shard,
+        # so the oracle is the same verified-containment UNION shape.
+        "q43_incremental_resume_search": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet'))
+            SELECT * FROM (
+                SELECT 'bash_w2' AS query, conv_id, turn_idx, role, tool
+                FROM t
+                WHERE role = 'assistant' AND tool = 'Bash'
+                  AND list_contains(ws, 'w00002')
+                UNION ALL
+                SELECT 'user_w4', conv_id, turn_idx, role, tool FROM t
+                WHERE role = 'user'
+                  AND list_contains(ws, 'w00004'))
             ORDER BY query, conv_id, turn_idx
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
