@@ -1028,7 +1028,11 @@ def q43_incremental_resume_search(spark, sf_dir):
                       chunk_slots=4096, manifest_group_size=4)
     ckey = hashlib.md5((cfg.to_json() + "q43").encode()).hexdigest()[:8]
     path = os.path.join(_CACHE_ROOT, f"resume_idx_{ckey}")
-    w = BloomIndexWriter(spark, cfg)
+    # tree_refresh="incremental" pins the path under test: "auto" would
+    # (correctly) prefer the full rebuild at this toy shard count — the
+    # incremental refresh only amortizes its extra per-level jobs past
+    # TREE_INCREMENTAL_MIN_SHARDS (measured in scripts/tree_incr_bench.py)
+    w = BloomIndexWriter(spark, cfg, tree_refresh="incremental")
     shard_of = F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int")
     w.build(df.where(shard_of != 3), path, resume=True)
     w.build(df, path, resume=True)  # 1 dirty shard of 32 -> incremental

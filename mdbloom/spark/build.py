@@ -268,9 +268,21 @@ def filters_for_batch(pdf: pd.DataFrame, cfg: IndexConfig) -> np.ndarray:
 
 
 class BloomIndexWriter:
-    def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None):
+    def __init__(self, spark: SparkSession, cfg: IndexConfig | None = None,
+                 tree_refresh: str = "auto"):
         self.spark = spark
         self.cfg = cfg or IndexConfig()
+        if tree_refresh not in ("auto", "incremental", "full"):
+            raise ValueError(
+                f"tree_refresh must be auto|incremental|full, "
+                f"got {tree_refresh!r}")
+        # manifest-tree maintenance policy on resume/remove/compact:
+        # "auto" (default) takes the incremental refresh only where it
+        # measurably wins — see TREE_INCREMENTAL_MIN_SHARDS; "incremental"
+        # forces it whenever a dirty set is known; "full" always rebuilds.
+        # Runtime knob, NOT persisted: config.json is compared verbatim on
+        # resume and this choice never changes on-disk layout.
+        self.tree_refresh = tree_refresh
 
     def _storage(self):
         """The value-storage backend (mdbloom.spark.storage SPI) this
@@ -868,6 +880,14 @@ class BloomIndexWriter:
     # quarter of the shards, the full rebuild is cheaper AND sharper
     # (inserted upper gates carry stale bits until their next rebuild)
     TREE_INCREMENTAL_MAX_FRAC = 0.25
+    # ...and when the index is big enough to amortize the incremental
+    # path's extra per-level Spark jobs: measured on a 1-dirty-shard
+    # resume (scripts/tree_incr_bench.py, 3 reps each), the incremental
+    # refresh is 0.7x FULL at 1024 shards (7.4s vs 5.3s — the full
+    # stream pass is already cheap) but 1.7x at 8192 shards (12.9s vs
+    # 21.7s). tree_refresh="auto" crosses over here; "incremental"
+    # overrides for callers that know their stream is expensive to scan.
+    TREE_INCREMENTAL_MIN_SHARDS = 4096
     # how the last manifest-tree write ran ("incremental" | "full") —
     # introspection for tests and build diagnostics
     _last_tree_mode: str | None = None
@@ -911,9 +931,19 @@ class BloomIndexWriter:
         token stream above become partition-pruned reads of the dirty
         shards (plus their level-1 group siblings) only — at 100 TB a
         1%-dirty resume no longer pays a full-corpus metadata rebuild.
+        The writer's ``tree_refresh`` policy gates this: "auto" takes it
+        only at ≥ TREE_INCREMENTAL_MIN_SHARDS shards (below that the
+        full stream pass is cheaper than the incremental path's extra
+        per-level jobs — measured crossover, see the constant);
+        "incremental"/"full" force either side.
         Sets ``self._last_tree_mode`` to "incremental" or "full"."""
         import shutil
-        if dirty_shards is not None:
+        want_incremental = (
+            self.tree_refresh == "incremental"
+            or (self.tree_refresh == "auto"
+                and int(self.cfg.n_shards)
+                >= self.TREE_INCREMENTAL_MIN_SHARDS))
+        if dirty_shards is not None and want_incremental:
             dirty = sorted({int(s) for s in dirty_shards})
             if self._refresh_manifest_tree(manifest_path, dirty):
                 self._last_tree_mode = "incremental"
@@ -1056,6 +1086,13 @@ class BloomIndexWriter:
                         "n_tokens long")
         tmp = tree_path + "_tmpinc"
         shutil.rmtree(tmp, ignore_errors=True)
+        # ONE partition discovery for the whole refresh: at 10^4+ shards
+        # listing token_hashes/ costs seconds, and a fresh
+        # spark.read.parquet per level/per helper dominated the refresh
+        # (measured 2x SLOWER than the full rebuild at 8192 shards before
+        # this hoist — scripts/tree_incr_bench.py); every downstream
+        # filter partition-prunes against this shared file index
+        tok = spark.read.parquet(tok_dir)
 
         def exact_nodes(grps: list, lvl: int):
             """(grp, token_gate, gate_m, gate_k, n_tokens) rebuilt
@@ -1063,14 +1100,14 @@ class BloomIndexWriter:
             under each node — partition-pruned to those shards."""
             span = G ** lvl
             # range predicates directly on the partition column so the
-            # read lists only the member shards' directories (a filter on
+            # read scans only the member shards' directories (a filter on
             # the derived grp alias is not guaranteed to partition-prune)
             cond = None
             for g in grps:
                 c = (F.col("shard") >= int(g) * span) & \
                     (F.col("shard") < (int(g) + 1) * span)
                 cond = c if cond is None else (cond | c)
-            return (spark.read.parquet(tok_dir)
+            return (tok
                     .where(cond)
                     .withColumn("grp", F.expr(f"shard div {span}"))
                     .select("grp", *keys)
@@ -1122,7 +1159,7 @@ class BloomIndexWriter:
                               and pd.notna(meta[g]["gate_m"])}
                 deltas = {}
                 if insertable:
-                    dd = (spark.read.parquet(tok_dir)
+                    dd = (tok
                           .where(F.col("shard").isin(dirty))
                           .withColumn("grp", F.expr(f"shard div {span}"))
                           .where(F.col("grp").isin(

@@ -69,7 +69,10 @@ def incr_setup(spark, tmp_path_factory):
     after = before.withColumn(
         "text", F.concat(F.col("text"), F.lit(" zzqincrtok")))
     final = unchanged.unionByName(after)
-    w = BloomIndexWriter(spark, _cfg())
+    # tree_refresh="incremental" forces the path under test at this toy
+    # shard count ("auto" correctly prefers the full rebuild below
+    # TREE_INCREMENTAL_MIN_SHARDS — see test_auto_policy_gates_on_size)
+    w = BloomIndexWriter(spark, _cfg(), tree_refresh="incremental")
     w.build(unchanged.unionByName(before), inc_path)
     assert w._last_tree_mode == "full"
     stats = w.build(final, inc_path, resume=True)
@@ -185,7 +188,7 @@ def test_fill_trigger_rebuilds_to_scratch_bytes(spark, tmp_path,
         F.when(shard_of == 3,
                F.concat(F.col("text"), F.lit(" zzqgrow"))).otherwise(
             F.col("text")))
-    w = BloomIndexWriter(spark, _cfg())
+    w = BloomIndexWriter(spark, _cfg(), tree_refresh="incremental")
     w.build(df, inc_path)
     w.build(final, inc_path, resume=True)
     assert w._last_tree_mode == "incremental"
@@ -203,12 +206,43 @@ def test_fill_trigger_rebuilds_to_scratch_bytes(spark, tmp_path,
                 assert bytes(a) == bytes(b), lvl
 
 
+def test_auto_policy_gates_on_size(spark, tmp_path, monkeypatch):
+    """tree_refresh="auto" (the default) takes the incremental path only
+    at >= TREE_INCREMENTAL_MIN_SHARDS (measured crossover: 0.7x full at
+    1024 shards, 1.7x at 8192 — scripts/tree_incr_bench.py); "full"
+    never takes it; a bogus policy is rejected at construction."""
+    path = str(tmp_path / "idx")
+    df = synthesize_transcripts(spark, 1500, seed=37)
+    shard_of = F.pmod(F.xxhash64("conv_id"), F.lit(N_SHARDS)).cast("int")
+    touched = df.withColumn(
+        "text", F.when(shard_of == 2,
+                       F.concat(F.col("text"), F.lit(" zzauto")))
+        .otherwise(F.col("text")))
+    w = BloomIndexWriter(spark, _cfg())  # default auto
+    assert w.tree_refresh == "auto"
+    w.build(df, path)
+    w.build(touched, path, resume=True)
+    assert w._last_tree_mode == "full"  # 32 shards < MIN_SHARDS
+    # lower the threshold -> the same writer goes incremental
+    monkeypatch.setattr(BloomIndexWriter, "TREE_INCREMENTAL_MIN_SHARDS", 1)
+    w.build(df, path, resume=True)
+    assert w._last_tree_mode == "incremental"
+    # "full" policy ignores the dirty set even under the low threshold
+    wf = BloomIndexWriter(spark, _cfg(), tree_refresh="full")
+    wf.build(touched, path, resume=True)
+    assert wf._last_tree_mode == "full"
+    with pytest.raises(ValueError, match="tree_refresh"):
+        BloomIndexWriter(spark, _cfg(), tree_refresh="sometimes")
+
+
 def test_large_dirty_set_falls_back_to_full(spark, tmp_path):
     """Past TREE_INCREMENTAL_MAX_FRAC of the shards, the full rebuild is
-    cheaper AND sharper — the writer must take it."""
+    cheaper AND sharper — the writer must take it (even when the policy
+    FORCES incremental: the fraction gate is about correctness-adjacent
+    sharpness, not just cost, so it binds every policy)."""
     path = str(tmp_path / "idx")
     df = synthesize_transcripts(spark, 1500, seed=29)
-    w = BloomIndexWriter(spark, _cfg())
+    w = BloomIndexWriter(spark, _cfg(), tree_refresh="incremental")
     w.build(df, path)
     # touch every row -> every shard dirty
     w.build(df.withColumn(
@@ -224,7 +258,7 @@ def test_removed_shards_refresh_incrementally(spark, tmp_path):
     path = str(tmp_path / "idx")
     df = synthesize_transcripts(spark, 2000, seed=31)
     shard_of = F.pmod(F.xxhash64("conv_id"), F.lit(N_SHARDS)).cast("int")
-    w = BloomIndexWriter(spark, _cfg())
+    w = BloomIndexWriter(spark, _cfg(), tree_refresh="incremental")
     w.build(df, path)
     survivors = df.where(shard_of != 7)
     stats = w.build(survivors, path, resume=True)
