@@ -18,7 +18,7 @@ double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""  # (42 queries total; the count is asserted by scripts/selfcheck.py)
+"""  # (44 queries total; the count is asserted by scripts/selfcheck.py)
 
 from __future__ import annotations
 
@@ -61,6 +61,30 @@ def _transcripts_table(spark: SparkSession) -> DataFrame:
         synthesize_transcripts(spark, 4000, seed=42) \
             .write.mode("overwrite").parquet(_TRANSCRIPTS_PQ)
     return spark.read.parquet(_TRANSCRIPTS_PQ)
+
+
+_HEAVY_PQ = os.path.join(_CACHE_ROOT, "transcripts_heavy_s42.parquet")
+
+
+def _heavy_transcripts(spark: SparkSession) -> DataFrame:
+    """Heavy-tailed variant of the flagship transcripts: ~2/3 of the
+    conversations merged into ONE ('hotconv', turn_idx re-enumerated so
+    (conv_id, turn_idx) stays a unique identity) — the corpus shape that
+    makes the default conv-co-locating shard key hot. Materialized once
+    as parquet so the q44 DuckDB oracle reads the SAME stored table."""
+    if not os.path.exists(os.path.join(_HEAVY_PQ, "_SUCCESS")):
+        df = _transcripts_table(spark)
+        hot = F.pmod(F.xxhash64("conv_id"), F.lit(3)) != 0
+        win = Window.partitionBy("new_conv").orderBy("conv_id", "turn_idx")
+        (df.withColumn("new_conv",
+                       F.when(hot, F.lit("hotconv"))
+                       .otherwise(F.col("conv_id")))
+           .withColumn("new_idx", F.row_number().over(win).cast("int"))
+           .select(F.col("new_conv").alias("conv_id"),
+                   F.col("new_idx").alias("turn_idx"),
+                   "role", "text", "tool", "ts")
+           .write.mode("overwrite").parquet(_HEAVY_PQ))
+    return spark.read.parquet(_HEAVY_PQ)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1060,6 +1084,41 @@ def q43_incremental_resume_search(spark, sf_dir):
             .orderBy("query", "conv_id", "turn_idx"))
 
 
+def q44_skew_salted_search(spark, sf_dir):
+    """EXPLICIT skew handling (north rule: "partitioning / shuffle / skew
+    handled explicitly"): a heavy-tailed corpus — one conversation holds
+    ~2/3 of all turns — is indexed with
+    ``shard_columns=("conv_id", "turn_idx")``, widening the shard hash
+    so rows spread uniformly instead of piling the hot conversation into
+    one shard (chained xxhash64; `build.shard_expr`). Physical placement
+    must be invisible to query semantics: the verified containment
+    search returns exactly the SQL truth over the same stored table. The
+    query also ASSERTS the balance engine-side (max shard fraction —
+    under the default key the hot shard would hold >= 2/3 of the rows;
+    salted it must stay near-uniform), so a silently-ignored
+    shard_columns breaks the query, not just a perf property."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _heavy_transcripts(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=16,
+                      chunk_slots=4096,
+                      shard_columns=("conv_id", "turn_idx"))
+    ckey = hashlib.md5((cfg.to_json() + "q44").encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"salted_idx_{ckey}")
+    BloomIndexWriter(spark, cfg).build(df, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    counts = (r.storage().groupBy("shard").count().toPandas())
+    frac = counts["count"].max() / counts["count"].sum()
+    assert len(counts) == 16 and frac < 0.25, (
+        f"salted shard key failed to balance: max fraction {frac:.2f} "
+        f"over {len(counts)} shards")
+    toks = r.transcript_query_tokens("assistant", "Bash", ["w00002"])
+    return (r.search_verified(toks, df)
+            .select("conv_id", "turn_idx", "role", "tool")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1105,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_shape_math": q41_shape_math,
         "q42_tree_pruned_search": q42_tree_pruned_search,
         "q43_incremental_resume_search": q43_incremental_resume_search,
+        "q44_skew_salted_search": q44_skew_salted_search,
     }
 
 
@@ -1728,6 +1788,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE role = 'user'
                   AND list_contains(ws, 'w00004'))
             ORDER BY query, conv_id, turn_idx
+        """,
+        # q44: the heavy-tailed corpus indexed under the SALTED shard key
+        # (explicit skew control) must answer the flagship verified
+        # containment exactly — physical placement is invisible to query
+        # semantics; the Spark side additionally asserts shard balance.
+        "q44_skew_salted_search": rf"""
+            SELECT conv_id, turn_idx, role, tool
+            FROM read_parquet('{_HEAVY_PQ}/*.parquet')
+            WHERE role = 'assistant' AND tool = 'Bash'
+              AND list_contains(regexp_split_to_array(trim(text), '\s+'),
+                                'w00002')
+            ORDER BY conv_id, turn_idx
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),

@@ -32,6 +32,10 @@ Scale notes (100 TB story):
   * the only wide exchange is the single repartition by ``shard``; skew is
     bounded because shard = pmod(xxhash64(conv_id), n_shards) spreads
     conversations uniformly — pick n_shards ~ a few per executor core;
+    heavy-tailed corpora (one conversation holding a data-scale share of
+    turns) get EXPLICIT skew control via IndexConfig.shard_columns, which
+    widens the shard hash to more id columns with no correctness impact
+    (tests/test_shard_columns.py);
   * slabs are chunked (``chunk_slots`` buffered slots per row) so no single
     Parquet row exceeds ~m/8 * chunk_slots bytes and query-side scan
     parallelism is per-chunk, not per-shard;
@@ -148,6 +152,20 @@ class IndexConfig:
     # corpus lands there, and pruning starts at the first level whose
     # vocabulary fits. 2^24 bits = 2 MiB/node ≈ 1.16M tokens at p=1e-3.
     tree_gate_max_m: int = 1 << 24
+    # EXPLICIT skew control (north rule: "partitioning / shuffle / skew
+    # handled explicitly"). Shard assignment hashes these columns —
+    # default () means (id_columns[0],): all turns of a conversation
+    # co-locate in one shard, which is skew-free only while conversation
+    # sizes are bounded. For heavy-tailed corpora (one agent run with
+    # 10^7 turns would make its shard hot), set shard_columns to more of
+    # the id columns — e.g. ("conv_id", "turn_idx") spreads every turn
+    # independently (perfectly uniform by hash) with NO correctness
+    # impact: search/gate/manifest semantics never depend on WHICH shard
+    # a row lives in, and remove/compact read shards from storage rather
+    # than recomputing them. Must be a subset of id_columns (identity is
+    # the only thing every surface — build, sink tail mirror, fold — can
+    # recompute from). Recorded in config.json when non-default.
+    shard_columns: tuple = ()
     # where the value multimap lives (mdbloom.spark.storage SPI — the
     # reference's Storage<E,I>/Serde plug point, `Container.java:171-221`,
     # `IgniteStorage.java:48-101`): "parquet" (default, lake-native) or
@@ -162,6 +180,18 @@ class IndexConfig:
     def __post_init__(self):
         self.shape = Shape.from_np(self.n_per_record, self.probability)
         self.gate_shape = Shape.from_mk(self.gate_m, self.gate_k)
+        bad = [c for c in self.shard_columns if c not in self.id_columns]
+        if bad:
+            raise ValueError(
+                f"shard_columns must be a subset of id_columns "
+                f"{self.id_columns}; got unknown {bad}")
+
+    @property
+    def shard_cols(self) -> tuple:
+        """Columns whose chained xxhash64 assigns the shard — explicit
+        skew control; default: the first id column (conversation
+        co-location)."""
+        return self.shard_columns or (self.id_columns[0],)
 
     # on-disk artifact format, bumped on any layout change (r2: embedded
     # keys_blob in slabs, key-carrying tombstones; r2.1: storage filter
@@ -186,7 +216,14 @@ class IndexConfig:
 
     def to_json(self) -> str:
         import json
+        # shard_columns is emitted ONLY when non-default so every
+        # pre-existing index's config.json (and every fixture cache key
+        # derived from to_json) keeps its exact bytes — resume compares
+        # this string verbatim
+        extra = ({"shard_columns": list(self.shard_columns)}
+                 if self.shard_columns else {})
         return json.dumps({
+            **extra,
             "format_version": IndexConfig.FORMAT_VERSION,
             "n_per_record": self.n_per_record,
             "probability": self.probability,
@@ -220,8 +257,20 @@ class IndexConfig:
             hash_backend=d.get("hash_backend", "python"),
             manifest_group_size=d.get("manifest_group_size", 64),
             tree_gate_max_m=d.get("tree_gate_max_m", 1 << 24),
-            storage_backend=d.get("storage_backend", "parquet"))
+            storage_backend=d.get("storage_backend", "parquet"),
+            shard_columns=tuple(d.get("shard_columns", ())))
         return cfg
+
+
+def shard_expr(cfg: IndexConfig):
+    """``pmod(xxhash64(<shard_cols>), n_shards)`` — THE shard assignment,
+    shared by every build-side pass. Spark's ``xxhash64(c1, c2, ...)``
+    chains: each column's hash uses the running hash as seed (seed 42
+    first), which ``datasource._shards_of`` mirrors Spark-free
+    (parity-tested). Multi-column shard_cols is the explicit skew
+    escape hatch — see IndexConfig.shard_columns."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cfg.shard_cols]),
+                  F.lit(cfg.n_shards)).cast("int")
 
 
 def record_tokens_pandas(pdf: pd.DataFrame, cfg: IndexConfig):
@@ -305,9 +354,7 @@ class BloomIndexWriter:
                         if c in df.columns and c not in carry]
         if cfg.text_column and cfg.text_column not in cols:
             cols.append(cfg.text_column)
-        sharded = df.select(*cols).withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
-                            F.lit(cfg.n_shards)).cast("int"))
+        sharded = df.select(*cols).withColumn("shard", shard_expr(cfg))
 
         id_cols = list(cfg.id_columns)
 
@@ -362,12 +409,10 @@ class BloomIndexWriter:
         gate missing a new shard's tokens prunes true matches)."""
         cfg = self.cfg
         cols = [c for c in cfg.tag_columns if c in df.columns]
-        sel = [cfg.id_columns[0]] + cols
+        sel = list(dict.fromkeys(list(cfg.shard_cols) + cols))
         if cfg.text_column and cfg.text_column in df.columns:
             sel.append(cfg.text_column)
-        sharded = df.select(*sel).withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
-                            F.lit(cfg.n_shards)).cast("int"))
+        sharded = df.select(*sel).withColumn("shard", shard_expr(cfg))
         if cfg.hash_backend == "jvm":
             from mdbloom.spark import jvm_hash as J
             return (J.exploded_token_rows(sharded, cfg, [])
@@ -470,9 +515,7 @@ class BloomIndexWriter:
             if c and c in df.columns and c not in seen:
                 seen.add(c)
                 cols.append(F.col(c))
-        sharded = df.withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
-                            F.lit(cfg.n_shards)).cast("int"))
+        sharded = df.withColumn("shard", shard_expr(cfg))
         return (sharded
                 .withColumn("_h", F.xxhash64(*cols))
                 .groupBy("shard")
@@ -700,8 +743,7 @@ class BloomIndexWriter:
                     "rows": 0, "sec": time.monotonic() - t0}
 
         src = df if not skip_shards else df.where(
-            F.pmod(F.xxhash64(F.col(cfg.id_columns[0])),
-                   F.lit(cfg.n_shards)).cast("int").isin(build_shards))
+            shard_expr(cfg).isin(build_shards))
 
         # ONE wide exchange, ONE materialization: the hash pass flows
         # straight into the partitioned storage write (filter binary

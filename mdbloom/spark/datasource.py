@@ -135,39 +135,56 @@ def _carry_columns(cfg) -> list:
                                    if c not in cfg.id_columns]
 
 
-def _shards_of(id0_series, n_shards: int) -> np.ndarray:
-    """``pmod(xxhash64(id0), n_shards)`` exactly as `build.filters_df`
-    assigns shards, without Spark: Spark's xxhash64 hashes a string's
-    UTF-8 bytes and an integral's fixed-width little-endian bytes
-    (both seed 42), which the local XXH64 mirror reproduces."""
+def _encoder_for(series):
+    """Per-column byte encoding matching Spark's XxHash64 expression:
+    strings hash their UTF-8 bytes, byte/short/int via hashInt (4 LE
+    bytes), long via hashLong (8 LE bytes)."""
     import struct
-
-    from mdbloom.spark.jvm_hash import _signed, _xxh64
-    n = len(id0_series)
-    if n_shards == 1:
-        return np.zeros(n, dtype=np.int32)
-    kind = id0_series.dtype.kind
+    kind = series.dtype.kind
     if kind == "O":
-        enc = lambda v: v.encode("utf-8")  # noqa: E731
-        vals = id0_series.to_numpy(dtype=object)
-        if n and not isinstance(vals[0], str):
+        if len(series) and not isinstance(series.iloc[0], str):
             raise ValueError(
                 "mdbloom tail read supports string/int id columns only; "
                 "fold the index first (BloomIndexReader folds on open)")
-    elif kind == "i":
-        # Spark hashes byte/short/int via hashInt (4 LE bytes) and long
-        # via hashLong (8 LE bytes)
-        fmt = "<q" if id0_series.dtype.itemsize == 8 else "<i"
-        enc = lambda v: struct.pack(fmt, int(v))  # noqa: E731
-        vals = id0_series.to_numpy()
-    else:
-        raise ValueError(
-            "mdbloom tail read supports string/int id columns only; "
-            "fold the index first (BloomIndexReader folds on open)")
-    uniq, inv = np.unique(vals, return_inverse=True)
-    sh = np.array([_signed(_xxh64(enc(v), 42)) % n_shards for v in uniq],
-                  dtype=np.int32)
-    return sh[inv]
+        return lambda v: v.encode("utf-8")
+    if kind == "i":
+        fmt = "<q" if series.dtype.itemsize == 8 else "<i"
+        return lambda v: struct.pack(fmt, int(v))
+    raise ValueError(
+        "mdbloom tail read supports string/int id columns only; "
+        "fold the index first (BloomIndexReader folds on open)")
+
+
+def _shards_of(pdf, cfg) -> np.ndarray:
+    """``pmod(xxhash64(<shard_cols>), n_shards)`` exactly as
+    `build.shard_expr` assigns shards, without Spark: Spark's
+    ``xxhash64(c1, c2, ...)`` CHAINS — the first column hashes with
+    seed 42 and each later column hashes with the running hash as its
+    seed — which the local XXH64 mirror reproduces column by column
+    (parity-tested incl. the multi-column chain)."""
+    from mdbloom.spark.jvm_hash import _signed, _xxh64
+    cols = list(cfg.shard_cols)
+    n_shards = int(cfg.n_shards)
+    n = len(pdf)
+    if n_shards == 1:
+        return np.zeros(n, dtype=np.int32)
+    encs = [_encoder_for(pdf[c]) for c in cols]
+    sub = pdf[cols]
+    # hash unique shard-key combinations only (a pending-tail batch has
+    # far fewer conversations than rows), then scatter back
+    uniq = sub.drop_duplicates()
+    rows = list(uniq.itertuples(index=False, name=None))
+
+    def chain(row) -> int:
+        h = 42
+        for enc, v in zip(encs, row):
+            h = _xxh64(enc(v), h)
+        return _signed(h) % n_shards
+
+    mapping = {row: chain(row) for row in rows}
+    keys = list(sub.itertuples(index=False, name=None))
+    return np.fromiter((mapping[k] for k in keys), dtype=np.int32,
+                       count=n)
 
 
 def _tail_storage_table(path: str, cfg, files: list | None = None):
@@ -195,7 +212,7 @@ def _tail_storage_table(path: str, cfg, files: list | None = None):
     pdf = ds.to_table(columns=need).to_pandas()
     if not len(pdf):
         return None
-    shard = _shards_of(pdf[cfg.id_columns[0]], cfg.n_shards)
+    shard = _shards_of(pdf, cfg)
 
     if cfg.hash_backend == "jvm":
         from mdbloom.spark.build import record_tokens_pandas

@@ -205,11 +205,25 @@ def test_shards_of_matches_spark(spark):
         F.col("id").alias("i64"),
         F.col("id").cast("int").alias("i32"),
         F.concat(F.lit("c"), F.col("id")).alias("s"))
+    pdf = df.toPandas()
     for c in ("i64", "i32", "s"):
         want = df.select(F.pmod(F.xxhash64(c), F.lit(7)).cast("int")
                          .alias("sh")).toPandas()["sh"].to_numpy()
-        got = _shards_of(df.select(c).toPandas()[c], 7)
+        cfg = IndexConfig(n_shards=7, id_columns=(c,))
+        got = _shards_of(pdf, cfg)
         assert (want == got).all(), c
+    # multi-column chain (explicit skew control): Spark chains xxhash64
+    # across columns with the running hash as seed — the mirror must
+    # reproduce string+integral chains bit-exactly
+    for cols in (("s", "i64"), ("i64", "s"), ("s", "i32"),
+                 ("s", "i64", "i32")):
+        want = df.select(
+            F.pmod(F.xxhash64(*cols), F.lit(7)).cast("int")
+            .alias("sh")).toPandas()["sh"].to_numpy()
+        cfg = IndexConfig(n_shards=7, id_columns=cols,
+                          shard_columns=cols)
+        got = _shards_of(pdf, cfg)
+        assert (want == got).all(), cols
 
 
 def test_append_to_foreign_index_rejected(spark, tmp_path):
