@@ -18,7 +18,7 @@ double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""  # (44 queries total; the count is asserted by scripts/selfcheck.py)
+"""  # (45 queries total; the count is asserted by scripts/selfcheck.py)
 
 from __future__ import annotations
 
@@ -1119,6 +1119,47 @@ def q44_skew_salted_search(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+def q45_memory_storage_get(spark, sf_dir):
+    """Storage SPI driver-level proof (the reference's Storage<E,I>/Serde
+    plug point, `IgniteStorage.java:48-101`, `Serde.java:20-24`): the
+    value multimap lives in the driver-resident KV backend behind
+    JsonSerde (storage_backend="memory") instead of parquet — index
+    artifacts (slabs, manifest, tombstones) stay on disk. A BATCHED exact get
+    (get_many) by content key answers ENTIRELY from the KV store, payload columns
+    (text, ts) round-tripping through the Serde; the oracle re-derives
+    content-key identity (same role, same tool, same distinct word set
+    as the probe row) in SQL over the same stored parquet — a Serde that
+    corrupted the timestamp or text would break the value hash. The KV
+    store is rebuilt per process (reference InMemory semantics;
+    build(resume=True) detects the vanished store and rebuilds)."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=4,
+                      chunk_slots=4096, payload_columns=("text", "ts"),
+                      storage_backend="memory")
+    ckey = hashlib.md5((cfg.to_json() + "q45").encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"memkv_idx_{ckey}")
+    BloomIndexWriter(spark, cfg).build(df, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    rows = (df.where((F.col("conv_id") == "conv00000000")
+                     & (F.col("turn_idx") < 3))
+            .orderBy("turn_idx").collect())
+    qs = {f"turn{row.turn_idx}": r.transcript_query_tokens(
+        row["role"],
+        None if row["tool"] in (None, "none") else row["tool"],
+        row["text"].split()) for row in rows}
+    # ts exported as epoch micros: a raw timestamp column arrives as
+    # datetime64[ns] from Spark but datetime64[us] from DuckDB and the
+    # dtype-strict compare rejects it; the bigint still breaks on any
+    # Serde corruption of the value
+    return (r.get_many(qs).select(
+        "query", "conv_id", "turn_idx", "text",
+        F.unix_micros("ts").alias("ts_us"))
+        .orderBy("query", "conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1165,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_tree_pruned_search": q42_tree_pruned_search,
         "q43_incremental_resume_search": q43_incremental_resume_search,
         "q44_skew_salted_search": q44_skew_salted_search,
+        "q45_memory_storage_get": q45_memory_storage_get,
     }
 
 
@@ -1800,6 +1842,29 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains(regexp_split_to_array(trim(text), '\s+'),
                                 'w00002')
             ORDER BY conv_id, turn_idx
+        """,
+        # q45: exact get answered from the KV storage backend — content-key
+        # identity (role, tool-unless-null, distinct word set) of the probe
+        # row re-derived in SQL; text+ts payloads must survive the Serde
+        # round-trip bit-exactly.
+        "q45_memory_storage_get": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, tool, text, ts,
+                       list_sort(list_distinct(
+                           regexp_split_to_array(trim(text), '\s+'))) AS ws
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')),
+            probe AS (
+                SELECT 'turn' || CAST(turn_idx AS VARCHAR) AS query,
+                       role, tool, ws
+                FROM t
+                WHERE conv_id = 'conv00000000' AND turn_idx < 3)
+            SELECT p.query, t.conv_id, t.turn_idx, t.text,
+                   epoch_us(t.ts) AS ts_us
+            FROM t JOIN probe p
+              ON t.role = p.role
+             AND t.tool IS NOT DISTINCT FROM p.tool
+             AND t.ws = p.ws
+            ORDER BY p.query, t.conv_id, t.turn_idx
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),
