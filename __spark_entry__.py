@@ -18,7 +18,7 @@ double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""  # (45 queries total; the count is asserted by scripts/selfcheck.py)
+"""  # (46 queries total; the count is asserted by scripts/selfcheck.py)
 
 from __future__ import annotations
 
@@ -1160,6 +1160,32 @@ def q45_memory_storage_get(spark, sf_dir):
         .orderBy("query", "conv_id", "turn_idx"))
 
 
+def q46_ewah_bitmap_index(spark, sf_dir):
+    """EWAH compressed bitmaps as a DISTRIBUTED operator (SURVEY §2.4 F8
+    at scale, not just local kernels): a bitmap index over events —
+    per event_type, which user_id bit-positions appear — where every
+    bitmap crossing an executor boundary travels run-length compressed
+    (the `EWAHBloomFilter.java:31-44` role) and partials merge with the
+    log-depth streaming OR tree (`FastAggregation.java:287-313`), no
+    decompression. Output: exact pairwise set algebra |A|, |B|, |A∧B|,
+    |A∨B|, |A⊕B| for every event-type pair, each popcounted on the
+    compressed form. Oracle re-derives the same cardinalities with
+    DISTINCT-set arithmetic (|A∨B| = |A|+|B|-|A∧B|, |A⊕B| =
+    |A|+|B|-2|A∧B|) — any compression, wire-format, or merge defect
+    breaks the value hash."""
+    from mdbloom.spark.bitmapindex import set_algebra_pairs
+    ev = _t(spark, sf_dir, "events")
+    # dense-key domain from one metadata-scale agg (real corpora
+    # dictionary-encode to dense ids first; see bitmapindex docstring)
+    n_pos = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    # high-value events only: keeps the per-type user sets DIFFERENT
+    # (at small SF every user hits every type, which would make the
+    # set-algebra check degenerate)
+    hi = ev.where(F.col("value") > 90)
+    return (set_algebra_pairs(spark, hi, "event_type", "user_id", n_pos)
+            .orderBy("type_a", "type_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1207,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_incremental_resume_search": q43_incremental_resume_search,
         "q44_skew_salted_search": q44_skew_salted_search,
         "q45_memory_storage_get": q45_memory_storage_get,
+        "q46_ewah_bitmap_index": q46_ewah_bitmap_index,
     }
 
 
@@ -1865,6 +1892,35 @@ def oracle_sql() -> dict[str, str]:
              AND t.tool IS NOT DISTINCT FROM p.tool
              AND t.ws = p.ws
             ORDER BY p.query, t.conv_id, t.turn_idx
+        """,
+        # q46: the EWAH bitmap-index set algebra re-derived relationally —
+        # per-type distinct-user cardinalities and pairwise intersections,
+        # union/xor by inclusion-exclusion.
+        "q46_ewah_bitmap_index": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE value > 90),
+            c AS (SELECT event_type, count(*) AS card
+                  FROM u GROUP BY event_type),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                  FROM c a JOIN c b ON a.event_type < b.event_type),
+            i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                         count(*) AS inter_card
+                  FROM u x JOIN u y
+                    ON x.user_id = y.user_id
+                   AND x.event_type < y.event_type
+                  GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b,
+                   ca.card AS card_a, cb.card AS card_b,
+                   COALESCE(i.inter_card, 0) AS inter_card,
+                   ca.card + cb.card
+                     - COALESCE(i.inter_card, 0) AS union_card,
+                   ca.card + cb.card
+                     - 2 * COALESCE(i.inter_card, 0) AS xor_card
+            FROM p
+            JOIN c ca ON ca.event_type = p.type_a
+            JOIN c cb ON cb.event_type = p.type_b
+            LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
+            ORDER BY p.type_a, p.type_b
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),

@@ -62,6 +62,55 @@ class EwahBitmap:
     def zeros(n_words: int) -> "EwahBitmap":
         return EwahBitmap(n_words, [("r", 0, n_words)] if n_words else [])
 
+    # ---------------- wire format ----------------
+    #
+    # Word-aligned little-endian uint64 stream so compressed bitmaps can
+    # ride a Spark shuffle / Arrow batch as ``binary`` columns (the role
+    # of JavaEWAH's `serialize`/`deserialize`, re-designed not copied):
+    #   word 0        : n_words (uncompressed logical length)
+    #   per segment   : one marker word, then payload
+    #     run     marker = count << 2 | bit << 1 | 0   (no payload)
+    #     literal marker = length << 2 | 1, then `length` verbatim words
+    # Compressed size stays within one word of `compressed_words` per
+    # segment, so the shuffle ships runs in O(1) bytes.
+
+    def to_bytes(self) -> bytes:
+        words = [np.uint64(self.n_words)]
+        for seg in self.segments:
+            if seg[0] == "r":
+                words.append(np.uint64((seg[2] << 2) | (seg[1] << 1)))
+            else:
+                words.append(np.uint64((len(seg[1]) << 2) | 1))
+                words.append(seg[1])
+        parts = [w if isinstance(w, np.ndarray) else np.array([w], dtype=B.U64)
+                 for w in words]
+        return np.concatenate(parts).astype("<u8").tobytes()
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "EwahBitmap":
+        words = np.frombuffer(buf, dtype="<u8").astype(B.U64)
+        n_words = int(words[0])
+        segs: list = []
+        i = 1
+        total = 0
+        while total < n_words:
+            if i >= len(words):
+                raise ValueError("corrupt EWAH byte stream")
+            marker = int(words[i])
+            i += 1
+            count = marker >> 2
+            if marker & 1:
+                if i + count > len(words):
+                    raise ValueError("corrupt EWAH byte stream")
+                segs.append(("l", words[i:i + count].copy()))
+                i += count
+            else:
+                segs.append(("r", (marker >> 1) & 1, count))
+            total += count
+        if total != n_words or i != len(words):
+            raise ValueError("corrupt EWAH byte stream")
+        return EwahBitmap(n_words, segs)
+
     def to_dense(self) -> np.ndarray:
         out = np.empty(self.n_words, dtype=B.U64)
         i = 0

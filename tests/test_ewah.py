@@ -83,3 +83,29 @@ def test_sparse_bloom_filter_compresses():
     bm = EwahBitmap.from_filter(filt)
     assert np.array_equal(bm.to_dense(), filt)
     assert bm.compressed_words <= 2 * 4 + 1  # <= one literal+run per bit
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n_words", [0, 1, 7, 64, 300])
+def test_bytes_roundtrip(seed, n_words):
+    """Wire format: to_bytes/from_bytes is lossless for every segment
+    mix, and runs ship in O(1) words (a shuffle-size guarantee)."""
+    rng = np.random.default_rng(seed)
+    words = _random_words(rng, n_words, 0.3)
+    bm = EwahBitmap.from_dense(words)
+    back = EwahBitmap.from_bytes(bm.to_bytes())
+    assert back.n_words == n_words
+    assert np.array_equal(back.to_dense(), words)
+    # byte length = 1 header word + 1 marker per segment + literal words
+    assert len(bm.to_bytes()) == 8 * (1 + len(bm.segments)
+                                      + bm.compressed_words
+                                      - sum(1 for s in bm.segments
+                                            if s[0] == "r"))
+
+
+def test_bytes_reject_corrupt():
+    bm = EwahBitmap.from_dense(np.array([0, FULL, 5], dtype=B.U64))
+    buf = bytearray(bm.to_bytes())
+    buf[:8] = np.array([99], dtype="<u8").tobytes()   # lie about n_words
+    with pytest.raises(ValueError):
+        EwahBitmap.from_bytes(bytes(buf))
