@@ -1186,6 +1186,70 @@ def q46_ewah_bitmap_index(spark, sf_dir):
             .orderBy("type_a", "type_b"))
 
 
+def q47_all_strategies_search(spark, sf_dir):
+    """EVERY local §2.3 index strategy answering the SAME raw containment
+    search under the FP-exact oracle: linear (`Linear.java:134-140`),
+    flat slab (`FlatBloofi.java:188-205`), tree/trie4/trie8
+    (`Trie4.java:53-57`, `Trie8.java:57-73`), blocked
+    (`BlockedSetIndex.java:243-292`) and the hierarchical Bloofi tree the
+    reference only ships flattened (`FlatBloofi.java:25-31` cites it).
+    The container tokenizes docs exactly like the distributed build
+    (`build.py:record_tokens_pandas` — 'col=value' tags skipping
+    null/'none', 'tok=<word>' per whitespace word) on the md5 backend,
+    so DuckDB re-derives every stored filter AND the query filter
+    bit-for-bit (`_bloom_raw_oracle_sql`) and each strategy must return
+    the exact Bloom hit set INCLUDING designed-rate false positives —
+    a single wrong superset-expansion table, trie cascade, or tree OR
+    breaks the hash for its strategy row. (This is the LOCAL container
+    surface, reference parity at reference scale; the distributed
+    strategies are q13/q29/q35 and the tree descent is q42.)"""
+    from mdbloom.container import (INDEX_STRATEGIES, BloomContainer,
+                                   TokenHasher)
+
+    cfg = _doc_idx_py_cfg()
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text").collect()
+    doc_toks = []
+    for r in docs:
+        toks = []
+        for col, v in (("lang", r.lang), ("source", r.source)):
+            if v is not None and v != "none":
+                toks.append(f"{col}={v}")
+        toks += [f"tok={w}" for w in (r.text or "").split()]
+        doc_toks.append((int(r.doc_id), TokenHasher(toks)))
+    query = TokenHasher(["tok=spark", "tok=window"])
+    rows = []
+    for name in sorted(INDEX_STRATEGIES):
+        c = BloomContainer(cfg.shape, index=name,
+                           estimated_population=len(doc_toks))
+        for doc_id, hasher in doc_toks:
+            c.put(hasher, doc_id)
+        rows += [(name, doc_id) for doc_id in sorted(c.search(query))]
+    return (spark.createDataFrame(rows, "strategy string, doc_id bigint")
+            .orderBy("strategy", "doc_id"))
+
+
+def q48_partition_lineage(spark, sf_dir):
+    """Per-partition lineage + metrics (the north rule's resumability
+    evidence surface, `BloomIndexReader.metrics`) under an ANSI-SQL
+    oracle: every deterministic manifest column is re-derived by DuckDB
+    from the raw table — n_turns = shard row count (the fingerprint
+    pass counts ALL source rows, `build.py:fingerprints`), n_slots =
+    distinct content-addressed keys (canonical (lang, source, word-set)
+    identity — same as q40's filter_count, exact when each shard's slab
+    builds in one pass, which the single-shard py config guarantees),
+    n_chunks = ceil(n_slots / chunk_slots), n_tokens = the shard's
+    DISTINCT dimension-token vocabulary (`build.py:token_gate_df`).
+    Wall-clock/fingerprint/summary columns are excluded as
+    nondeterministic. A resume that re-indexed rows twice, dropped a
+    doc, or desynced the token stream from the storage would break
+    this hash before it broke a search."""
+    r = _doc_index_py(spark, sf_dir)
+    return (r.metrics()
+            .select("shard", "n_turns", "n_slots", "n_chunks", "n_tokens")
+            .orderBy("shard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1234,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_skew_salted_search": q44_skew_salted_search,
         "q45_memory_storage_get": q45_memory_storage_get,
         "q46_ewah_bitmap_index": q46_ewah_bitmap_index,
+        "q47_all_strategies_search": q47_all_strategies_search,
+        "q48_partition_lineage": q48_partition_lineage,
     }
 
 
@@ -1921,6 +1987,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN c cb ON cb.event_type = p.type_b
             LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
             ORDER BY p.type_a, p.type_b
+        """,
+        # q47: the raw FP-exact hit set (q14's oracle) replicated per
+        # local strategy — all 7 strategies must return EXACTLY it
+        "q47_all_strategies_search": rf"""
+            WITH s(strategy) AS (VALUES ('blocked'), ('bloofi'), ('flat'),
+                                 ('linear'), ('tree'), ('trie4'),
+                                 ('trie8')),
+            h AS ({_bloom_raw_oracle_sql(['tok=spark', 'tok=window'])})
+            SELECT s.strategy, h.doc_id
+            FROM s CROSS JOIN h
+            ORDER BY s.strategy, h.doc_id
+        """,
+        # q48: per-partition lineage metrics re-derived from the raw
+        # table (single-shard py config: shard 0 holds everything)
+        "q48_partition_lineage": rf"""
+            WITH dtok AS (
+                SELECT doc_id, 'lang=' || lang AS tok FROM documents
+                WHERE lang IS NOT NULL AND lang <> 'none'
+                UNION
+                SELECT doc_id, 'source=' || source FROM documents
+                WHERE source IS NOT NULL AND source <> 'none'
+                UNION
+                SELECT DISTINCT doc_id, 'tok=' || w.tok
+                FROM documents,
+                     unnest({_WORDS}) AS w(tok)
+                WHERE length(trim(text)) > 0),
+            keys AS (
+                SELECT COUNT(DISTINCT lang || '|' || source || '|' ||
+                       array_to_string(list_sort(list_distinct({_WORDS})),
+                                       ' ')) AS n_slots
+                FROM documents)
+            SELECT CAST(0 AS INT) AS shard,
+                   (SELECT COUNT(*) FROM documents) AS n_turns,
+                   k.n_slots AS n_slots,
+                   CAST(ceil(k.n_slots /
+                        {float(_doc_idx_py_cfg().chunk_slots)}) AS INT)
+                       AS n_chunks,
+                   (SELECT COUNT(DISTINCT tok) FROM dtok) AS n_tokens
+            FROM keys k
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),
