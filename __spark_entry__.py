@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1250,6 +1251,47 @@ def q48_partition_lineage(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q49_streaming_windowed_agg(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed as a REAL
+    Structured Streaming job (SURVEY §2.6 streaming, under an oracle
+    instead of pytest-only): readStream over the events parquet →
+    `streaming.windowed_counts` (1-day windows keyed by event_type,
+    1-hour watermark) → availableNow trigger → memory sink. Output mode
+    is `complete` so the bounded replay is deterministic — every window
+    emits regardless of where microbatch boundaries land the watermark
+    (append-mode late-row semantics are pinned separately by
+    `test_windowed_counts_with_watermark` and the novelty/sketch
+    restart-replay tests). The oracle is the equivalent batch GROUP BY
+    over day-truncated event time — a streaming engine that dropped,
+    double-counted, or misaligned a window breaks the hash."""
+    import uuid
+
+    from mdbloom.spark.streaming import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    # FileStreamSource requires a DIRECTORY; stage the single-file table
+    # once per sf_dir (testdata is read-only)
+    skey = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_dir = os.path.join(_CACHE_ROOT, f"q49_events_{skey}")
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    agg = windowed_counts(stream, "ts", "event_type",
+                          window="1 day", watermark="1 hour")
+    name = f"q49_win_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.unix_micros(F.col("window.start"))
+                    .alias("win_start_us"),
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n_events"))
+            .orderBy("win_start_us", "event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1300,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_ewah_bitmap_index": q46_ewah_bitmap_index,
         "q47_all_strategies_search": q47_all_strategies_search,
         "q48_partition_lineage": q48_partition_lineage,
+        "q49_streaming_windowed_agg": q49_streaming_windowed_agg,
     }
 
 
@@ -2026,6 +2069,17 @@ def oracle_sql() -> dict[str, str]:
                        AS n_chunks,
                    (SELECT COUNT(DISTINCT tok) FROM dtok) AS n_tokens
             FROM keys k
+        """,
+        # q49: streaming windowed counts == batch day-truncated GROUP BY
+        # (complete mode over a bounded replay; UTC session + NTZ parquet
+        # timestamps make epoch arithmetic identical on both sides)
+        "q49_streaming_windowed_agg": """
+            SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
+                   event_type,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),
