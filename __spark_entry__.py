@@ -18,7 +18,7 @@ double hashing recomputed in SQL), the sketch estimators (q18-q21: run
 in regimes where the estimate is value-deterministic), and the LSH
 pipelines (q16/q17/q22/q28: deterministic SQL-reproducible hash
 families). Accuracy bounds are additionally asserted in tests/.
-"""  # (46 queries total; the count is asserted by scripts/selfcheck.py)
+"""  # (count: len(queries()); queries/oracles kept in lockstep by selfcheck)
 
 from __future__ import annotations
 
@@ -1274,16 +1274,25 @@ def q49_streaming_windowed_agg(spark, sf_dir):
     skey = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     src_dir = os.path.join(_CACHE_ROOT, f"q49_events_{skey}")
     if not os.path.isdir(src_dir):
-        os.makedirs(src_dir, exist_ok=True)
+        # stage atomically (tmp dir + rename): a crash mid-copy must not
+        # leave a half-staged dir that later runs trust
+        tmp = f"{src_dir}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         shutil.copy(f"{sf_dir}/events.parquet",
-                    os.path.join(src_dir, "events.parquet"))
+                    os.path.join(tmp, "events.parquet"))
+        try:
+            os.rename(tmp, src_dir)
+        except OSError:  # concurrent stager won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
     agg = windowed_counts(stream, "ts", "event_type",
                           window="1 day", watermark="1 hour")
     name = f"q49_win_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.outputMode("complete").format("memory")
          .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("q49 streaming job did not finish in 600s")
     return (spark.table(name)
             .select(F.unix_micros(F.col("window.start"))
                     .alias("win_start_us"),

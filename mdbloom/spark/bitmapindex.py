@@ -116,9 +116,7 @@ def set_algebra_pairs(spark: SparkSession, df: DataFrame, group_col: str,
     segment, never materializing a dense bitmap. Stage 4: the K final
     compressed bitmaps are metadata (K = group cardinality), so the
     pairing runs driver-side like every sketch final."""
-    finals = sorted(group_bitmaps(df, group_col, key_col,
-                                  n_positions).collect(),
-                    key=lambda r: r["group"])
+    finals = group_bitmaps(df, group_col, key_col, n_positions).collect()
     bms = {r["group"]: (EwahBitmap.from_bytes(r["bm"]), int(r["card"]))
            for r in finals}
     names = sorted(bms)

@@ -171,9 +171,11 @@ def _shards_of(pdf, cfg) -> np.ndarray:
     encs = [_encoder_for(pdf[c]) for c in cols]
     sub = pdf[cols]
     # hash unique shard-key combinations only (a pending-tail batch has
-    # far fewer conversations than rows), then scatter back
+    # far fewer conversations than rows), then scatter back with a
+    # vectorized inverse index: ngroup(sort=False) numbers groups in
+    # first-appearance order, exactly drop_duplicates' row order
+    inv = sub.groupby(cols, sort=False, dropna=False).ngroup().to_numpy()
     uniq = sub.drop_duplicates()
-    rows = list(uniq.itertuples(index=False, name=None))
 
     def chain(row) -> int:
         h = 42
@@ -181,18 +183,20 @@ def _shards_of(pdf, cfg) -> np.ndarray:
             h = _xxh64(enc(v), h)
         return _signed(h) % n_shards
 
-    mapping = {row: chain(row) for row in rows}
-    keys = list(sub.itertuples(index=False, name=None))
-    return np.fromiter((mapping[k] for k in keys), dtype=np.int32,
-                       count=n)
+    shards_u = np.fromiter(
+        (chain(row) for row in uniq.itertuples(index=False, name=None)),
+        dtype=np.int32, count=len(uniq))
+    return shards_u[inv]
 
 
 def _tail_storage_table(path: str, cfg, files: list | None = None):
     """Materialize pending (unfolded) sink appends as storage-shaped
     rows ``(key, <carry>, filter, shard)`` — BIT-IDENTICAL to what the
     fold build will write, via the Spark-free mirrors: shard =
-    pmod(xxhash64(id0), n_shards) (`build.filters_df`), filter/key via
-    the backend the config records. ``files`` restricts to a subset of
+    pmod(chained xxhash64 over ``cfg.shard_cols``, n_shards) exactly as
+    `build.shard_expr` (see `_shards_of` — incl. multi-column
+    `shard_columns` chains), filter/key via the backend the config
+    records. ``files`` restricts to a subset of
     pending files (one read task per file — tail parallelism equals
     the writer's task count; duplicate-id rows split across files
     would each surface until the fold merges them, which only matters
