@@ -1301,6 +1301,41 @@ def q49_streaming_windowed_agg(spark, sf_dir):
             .orderBy("win_start_us", "event_type"))
 
 
+def q50_remove_where_search(spark, sf_dir):
+    """Predicate-driven bulk delete (`BloomIndexWriter.remove_where`) —
+    the GDPR right-to-be-forgotten operator a training-data pipeline
+    needs, at the driver-contract level: build a transcript index, erase
+    an ENTIRE conversation by SQL predicate (one distributed filter over
+    the live storage view, vs. the reference looping
+    `ContainerImpl.remove` per victim, `ContainerImpl.java:134-153`),
+    then re-run the flagship verified search. The victim conversation is
+    derived deterministically from the SOURCE table (min conv_id among
+    matching rows), so the oracle re-derives it in SQL and anti-joins the
+    whole conversation; re-runs are no-ops (victims already tombstoned
+    leave the live view)."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+
+    df = _transcripts_table(spark)
+    cfg = IndexConfig(n_per_record=40, probability=1e-3, n_shards=8,
+                      chunk_slots=4096)
+    ckey = hashlib.md5((cfg.to_json() + ":gdpr").encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"gdpr_idx_{ckey}")
+    writer = BloomIndexWriter(spark, cfg)
+    writer.build(df, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    toks = r.transcript_query_tokens("assistant", "Bash", ["w00002"])
+    w = F.split(F.trim("text"), r"\s+")
+    victim = (df.where((F.col("role") == "assistant")
+                       & (F.col("tool") == "Bash")
+                       & F.array_contains(w, "w00002"))
+              .agg(F.min("conv_id")).head()[0])
+    writer.remove_where(f"conv_id = '{victim}'", path)
+    return (r.search_verified(toks, df)
+            .select("conv_id", "turn_idx", "role", "tool")
+            .orderBy("conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1352,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_all_strategies_search": q47_all_strategies_search,
         "q48_partition_lineage": q48_partition_lineage,
         "q49_streaming_windowed_agg": q49_streaming_windowed_agg,
+        "q50_remove_where_search": q50_remove_where_search,
     }
 
 
@@ -2089,6 +2125,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # q50: GDPR predicate delete — the whole victim conversation
+        # (min conv_id among the flagship hits) vanishes from the
+        # verified search; an engine that missed a shard's tombstones or
+        # deleted too much breaks the hash.
+        "q50_remove_where_search": rf"""
+            WITH hits AS (
+                SELECT conv_id, turn_idx, role, tool
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+                WHERE role = 'assistant' AND tool = 'Bash'
+                  AND list_contains(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        'w00002'))
+            SELECT conv_id, turn_idx, role, tool
+            FROM hits
+            WHERE conv_id <> (SELECT min(conv_id) FROM hits)
+            ORDER BY conv_id, turn_idx
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),

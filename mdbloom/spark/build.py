@@ -1300,6 +1300,27 @@ class BloomIndexWriter:
                   .dropDuplicates(["shard", "key", *cfg.id_columns]))
         return self._append_tombstones(doomed, path)
 
+    def remove_where(self, predicate: str, path: str) -> int:
+        """Predicate-driven bulk delete — the right-to-be-forgotten
+        operator a training-data pipeline needs: tombstone every LIVE
+        stored value whose storage row satisfies the SQL ``predicate``
+        over the id + payload columns (e.g. ``"conv_id = 'c00042'"`` or
+        ``"user = 'alice'"`` with ``user`` in
+        ``IndexConfig.payload_columns``). One distributed filter over the
+        live storage view, no driver materialization; the reference's
+        closest surface is looping `Container.remove`
+        (`ContainerImpl.java:134-153`) per victim, which this replaces
+        with a single scan. Idempotent: already-tombstoned rows are
+        excluded from the live view, so a re-run matches nothing.
+        Returns rows tombstoned."""
+        from mdbloom.spark.query import BloomIndexReader
+        cfg = self.cfg
+        storage = BloomIndexReader(self.spark, path).storage()
+        doomed = (storage.where(predicate)
+                  .select("shard", "key", *cfg.id_columns)
+                  .dropDuplicates(["shard", "key", *cfg.id_columns]))
+        return self._append_tombstones(doomed, path)
+
     def _append_tombstones(self, doomed: DataFrame, path: str) -> int:
         # materialize BEFORE writing: the plan reads tombstones/ (via the
         # live storage view) which the write below appends to

@@ -249,6 +249,38 @@ def test_payload_multimap_roundtrip(docs_setup):
     assert [(x.doc_id, x.text) for x in s] == [(4, "hola mundo gamma")]
 
 
+def test_remove_where_predicate_delete(docs_setup):
+    """Predicate-driven bulk delete (GDPR right-to-be-forgotten): one
+    distributed filter over the LIVE storage view tombstones every
+    matching stored value — id or payload predicate alike — and is
+    idempotent because already-tombstoned rows leave the live view."""
+    spark, df, w, path = docs_setup
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 4
+
+    # payload-column predicate: both copies of the duplicated doc go
+    assert w.remove_where("text = 'hello world alpha'", path) == 2
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 2
+    assert sorted(x.doc_id for x in
+                  r.search([]).select("doc_id").collect()) == [3, 4]
+    assert r.search(["tok=hello"]).count() == 0
+
+    # idempotent: the victims are no longer live, so a re-run is a no-op
+    assert w.remove_where("text = 'hello world alpha'", path) == 0
+    # no-match predicate is a no-op too
+    assert w.remove_where("doc_id = 999", path) == 0
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 2
+
+    # id-column predicate composes with earlier tombstones
+    assert w.remove_where("doc_id = 4", path) == 1
+    r = BloomIndexReader(spark, path)
+    assert r.value_count() == 1
+    assert [x.doc_id for x in r.search([]).select("doc_id").collect()] \
+        == [3]
+
+
 def test_metrics_dataframe(setup):
     spark, df, w, path = setup
     r = BloomIndexReader(spark, path)
