@@ -1336,6 +1336,40 @@ def q50_remove_where_search(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+def q51_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (`textops.stratified_sample`) —
+    the reproducible language-rebalance step of a training mix, keyed on
+    CONTENT hash (top 60 md5 bits) instead of `df.sample`'s
+    partition-seeded RNG: membership is a pure codegen filter, identical
+    on any cluster shape, and the DuckDB oracle re-derives the exact
+    same row set from the same thresholds. Keeps all of zh, half of es,
+    a quarter of en, and 10% of everything else."""
+    from mdbloom.spark.textops import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang",
+                            {"en": 0.25, "zh": 1.0, "es": 0.5},
+                            ["doc_id"], default_fraction=0.1, salt="q51")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q52_corpus_mix(spark, sf_dir):
+    """Deterministic weighted corpus mixing (`textops.mix_corpora`) —
+    blend three sources at 5:3:1 with maximum data retention: the
+    binding source is kept whole, the rest hash-downsample to match.
+    Thresholds are EXACT integer arithmetic from the per-source counts
+    (floor(2^60 * min_j(n_j/w_j) * w_i / n_i) as a min of integer-
+    division terms), so the oracle recomputes them bit-for-bit in
+    128-bit SQL ints from the same table."""
+    from mdbloom.spark.textops import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [(docs.where(F.col("source") == s), w)
+             for s, w in [("src0", 5), ("src1", 3), ("src2", 1)]]
+    out = mix_corpora(parts, ["doc_id"], salt="q52")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1388,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_partition_lineage": q48_partition_lineage,
         "q49_streaming_windowed_agg": q49_streaming_windowed_agg,
         "q50_remove_where_search": q50_remove_where_search,
+        "q51_stratified_sample": q51_stratified_sample,
+        "q52_corpus_mix": q52_corpus_mix,
     }
 
 
@@ -2142,6 +2178,42 @@ def oracle_sql() -> dict[str, str]:
             FROM hits
             WHERE conv_id <> (SELECT min(conv_id) FROM hits)
             ORDER BY conv_id, turn_idx
+        """,
+        # q51/q52: deterministic sampling — membership is a pure function
+        # of md5(key||US||salt)'s top 60 bits, so DuckDB re-derives the
+        # exact row set. q52's thresholds are recomputed from the same
+        # counts in exact 128-bit integer arithmetic (floor division is
+        # monotone, so min-of-floors == floor-of-min-rational).
+        "q51_stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)
+                                      || chr(31) || 'q51'), 1, 15))::UBIGINT
+                  < CASE lang WHEN 'en' THEN {int(0.25 * (1 << 60))}
+                              WHEN 'zh' THEN {int(1.0 * (1 << 60))}
+                              WHEN 'es' THEN {int(0.5 * (1 << 60))}
+                              ELSE {int(0.1 * (1 << 60))} END
+            ORDER BY doc_id
+        """,
+        "q52_corpus_mix": f"""
+            WITH sz AS (
+                SELECT s.source, s.wt, count(*) AS n
+                FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1))
+                     s(source, wt)
+                JOIN documents d ON d.source = s.source
+                GROUP BY 1, 2),
+            thr AS (
+                SELECT i.source,
+                       min(({1 << 60}::HUGEINT * j.n * i.wt)
+                           // (j.wt * i.n)) AS thr
+                FROM sz i CROSS JOIN sz j
+                GROUP BY i.source)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)
+                                      || chr(31) || 'q52'), 1, 15))::UBIGINT
+                  < thr.thr
+            ORDER BY d.doc_id
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),

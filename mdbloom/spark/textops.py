@@ -453,3 +453,98 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
         "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming"))
+
+
+# ------------- deterministic sampling + corpus mixing (curation) -------------
+#
+# df.sample() draws from a partition-seeded RNG: results change with
+# partitioning, cluster size, and Spark version — useless for reproducible
+# training-data curation at 100 TB. These operators decide membership from a
+# CONTENT hash of each row's key (top 60 bits of md5: 15 hex chars, always
+# positive in a signed bigint), so the sample is a pure whole-stage-codegen
+# filter — no shuffle, no RNG state, identical on 1 or 1000 executors, stable
+# under repartitioning, and bit-for-bit re-derivable in ANSI SQL
+# (`('0x'||substr(md5(k),1,15))::UBIGINT` in DuckDB).
+
+SAMPLE_BITS = 60
+SAMPLE_SPACE = 1 << SAMPLE_BITS
+_SAMPLE_SEP = "\x1f"  # ASCII unit separator: never in the synthetic corpora
+
+
+def sample_hash(key_cols, salt: str = ""):
+    """Column: top-60-bit md5 of the concatenated key columns (+salt) —
+    uniform on [0, 2^60). ``salt`` yields independent samples from the
+    same keys (disjoint train/eval splits, repeated trials)."""
+    key = F.concat_ws(_SAMPLE_SEP,
+                      *[F.col(c).cast("string") for c in key_cols],
+                      F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def sample_deterministic(df: DataFrame, key_cols, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep a row iff hash(key) < fraction * 2^60 — a deterministic
+    Bernoulli(fraction) sample keyed on content, not position."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(sample_hash(key_cols, salt)
+                    < F.lit(int(fraction * SAMPLE_SPACE)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key_cols,
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source-rebalance
+    step of a training mix (e.g. downsample 'en' to 10%, keep every
+    low-resource language). One codegen CASE over the stratum column
+    picks the threshold; strata not listed get ``default_fraction``."""
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0,1]")
+    thr = None
+    for v, frac in fractions.items():
+        t = F.lit(int(frac * SAMPLE_SPACE))
+        cond = F.col(strata_col) == v
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(int(default_fraction * SAMPLE_SPACE))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.where(sample_hash(key_cols, salt) < thr)
+
+
+def mix_thresholds(sizes, weights):
+    """Exact integer per-source sample thresholds for a weighted corpus
+    mix hitting proportions ``weights`` with maximum data retention: the
+    binding source (largest weight/size) is kept whole and every other
+    source is downsampled to match. All arithmetic is exact big-int
+    (floor of SPACE * C * w_i / n_i with C = min_j n_j/w_j expressed as
+    min_j of integer-division terms — floor is monotone), so an ANSI-SQL
+    oracle reproduces the thresholds bit-for-bit from the same counts
+    (128-bit ints in DuckDB). Weights must be positive integers."""
+    if len(sizes) != len(weights):
+        raise ValueError("sizes and weights must align")
+    if any(w <= 0 or int(w) != w for w in weights):
+        raise ValueError(f"weights must be positive integers: {weights}")
+    if any(n <= 0 for n in sizes):
+        raise ValueError(f"every source must be non-empty: {sizes}")
+    return [
+        min((SAMPLE_SPACE * nj * wi) // (wj * ni)
+            for nj, wj in zip(sizes, weights))
+        for ni, wi in zip(sizes, weights)
+    ]
+
+
+def mix_corpora(sources, key_cols, salt: str = "") -> DataFrame:
+    """Deterministic weighted corpus mix: ``sources`` is a list of
+    (DataFrame, integer_weight); the result unions a per-source
+    deterministic sample whose expected sizes are proportional to the
+    weights (the training-mix operator: blend web/books/code corpora at
+    5:3:1 without materializing counts driver-side beyond one count()
+    aggregate per source). Schemas must align (union by name)."""
+    sizes = [df.count() for df, _ in sources]
+    thrs = mix_thresholds(sizes, [w for _, w in sources])
+    out = None
+    for (df, _), thr in zip(sources, thrs):
+        part = df.where(sample_hash(key_cols, salt) < F.lit(thr))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1,0 +1,123 @@
+"""Deterministic content-hash sampling + weighted corpus mixing — the
+reproducible-curation operators (df.sample is partition-seeded and not
+reproducible across cluster shapes). Membership is a pure function of the
+row key, so it must be identical across runs, partitionings, and engines
+(DuckDB re-derives it in SQL)."""
+
+from fractions import Fraction
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mdbloom.spark.textops import (SAMPLE_SPACE, mix_corpora,
+                                   mix_thresholds, sample_deterministic,
+                                   sample_hash, stratified_sample)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"lang{i % 4}", f"doc body {i}") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string").cache()
+
+
+def test_sample_deterministic_and_partition_stable(docs):
+    a = sorted(r.doc_id for r in
+               sample_deterministic(docs, ["doc_id"], 0.3).collect())
+    b = sorted(r.doc_id for r in
+               sample_deterministic(docs.repartition(17), ["doc_id"], 0.3)
+               .collect())
+    assert a == b and len(a) > 0
+    # rate within 4 sigma of Bernoulli(0.3) on 2000 rows (sigma ~ 10.2)
+    assert abs(len(a) - 600) < 82
+
+
+def test_samples_nest_by_fraction(docs):
+    """hash-threshold sampling gives NESTED samples: the 10% sample is a
+    subset of the 30% sample — the property that makes scaling a mix up
+    or down reproducible."""
+    s10 = {r.doc_id for r in
+           sample_deterministic(docs, ["doc_id"], 0.1).collect()}
+    s30 = {r.doc_id for r in
+           sample_deterministic(docs, ["doc_id"], 0.3).collect()}
+    assert s10 <= s30
+
+
+def test_salt_gives_independent_sample(docs):
+    a = {r.doc_id for r in
+         sample_deterministic(docs, ["doc_id"], 0.5, salt="s1").collect()}
+    b = {r.doc_id for r in
+         sample_deterministic(docs, ["doc_id"], 0.5, salt="s2").collect()}
+    assert a != b
+    # overlap near 25% of the corpus for independent 50% samples
+    assert abs(len(a & b) - 500) < 100
+
+
+def test_sample_fraction_bounds(docs):
+    with pytest.raises(ValueError):
+        sample_deterministic(docs, ["doc_id"], 1.5)
+    assert sample_deterministic(docs, ["doc_id"], 0.0).count() == 0
+    assert sample_deterministic(docs, ["doc_id"], 1.0).count() == 2000
+
+
+def test_stratified_rates_and_default(docs):
+    out = stratified_sample(docs, "lang", {"lang0": 1.0, "lang1": 0.2},
+                            ["doc_id"]).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    assert got["lang0"] == 500          # kept whole
+    assert abs(got.get("lang1", 0) - 100) < 55  # 4 sigma
+    assert "lang2" not in got and "lang3" not in got  # default 0.0
+
+
+def test_mix_thresholds_exact_math():
+    sizes, weights = [1000, 400, 50], [5, 3, 1]
+    thrs = mix_thresholds(sizes, weights)
+    # binding source = max w/n (here the 50-row corpus at weight 1)
+    c = min(Fraction(n, w) for n, w in zip(sizes, weights))
+    for thr, n, w in zip(thrs, sizes, weights):
+        want = (SAMPLE_SPACE * c.numerator * w) // (c.denominator * n)
+        assert thr == want
+    assert thrs[2] == SAMPLE_SPACE  # binding source kept whole
+    with pytest.raises(ValueError):
+        mix_thresholds([10, 10], [1.5, 1])
+    with pytest.raises(ValueError):
+        mix_thresholds([10, 0], [1, 1])
+
+
+def test_mix_corpora_proportions(spark):
+    a = spark.range(3000).select(F.col("id").alias("doc_id"),
+                                 F.lit("a").alias("src"))
+    b = spark.range(3000, 3600).select(F.col("id").alias("doc_id"),
+                                       F.lit("b").alias("src"))
+    out = mix_corpora([(a, 2), (b, 1)], ["doc_id"]).cache()
+    got = {r.src: r["count"]
+           for r in out.groupBy("src").count().collect()}
+    # binding source is b (600 rows at weight 1) -> kept whole; a is
+    # downsampled to ~1200 for a 2:1 mix
+    assert got["b"] == 600
+    assert abs(got["a"] - 1200) < 135  # 4 sigma at p=0.4, n=3000
+    # deterministic: second call identical
+    again = mix_corpora([(a, 2), (b, 1)], ["doc_id"])
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_sample_membership_matches_duckdb(spark, docs):
+    """The membership rule is engine-portable: DuckDB recomputes the same
+    60-bit md5 threshold test and picks the identical rows — the property
+    the q51 oracle relies on."""
+    thr = int(0.37 * SAMPLE_SPACE)
+    got = sorted(r.doc_id for r in
+                 docs.where(sample_hash(["doc_id"], "q51") < F.lit(thr))
+                 .collect())
+    pdf = docs.select("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.execute(f"""
+        SELECT doc_id FROM t
+        WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31)
+                                  || 'q51'), 1, 15))::UBIGINT < {thr}
+        ORDER BY doc_id""").fetchall()]
+    assert got == want and len(got) > 0
