@@ -1370,6 +1370,55 @@ def q52_corpus_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q53_asof_join(spark, sf_dir):
+    """As-of join (`joins.asof_join`) — Spark has no ASOF JOIN and plans
+    raw inequality joins as cartesian products; this is the sort-based
+    union+window re-expression (one shuffle of |L|+|R| rows on the key):
+    every click event gets the latest prior-or-equal 'view' event of the
+    same user (left-join semantics, NULLs when no prior view). The right
+    side is deduped to unique (user, ts) with a deterministic tiebreak —
+    duplicate timestamps make the as-of match ambiguous in any engine —
+    and DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from mdbloom.spark.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (views.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select("user_id", "ts", "event_id", "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, views, "user_id", left_ts="ts")
+    return (out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id_r").alias("view_event_id"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_ts_us"),
+        F.col("value").alias("view_value"))
+        .orderBy("event_id"))
+
+
+def q54_range_join(spark, sf_dir):
+    """Point-in-interval range join (`joins.range_join_point`) — interval
+    binning turns the inequality join Spark would run as
+    BroadcastNestedLoopJoin into a bin-bucketed equi-join + exact refine
+    (O(points + intervals·span/w) shuffle rows). Parts match OVERLAPPING
+    price bands (width 25, stride 12), so multi-match explode
+    correctness is exercised; the oracle is DuckDB's plain inequality
+    join against the same generated bands."""
+    from mdbloom.spark.joins import range_join_point
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (895.0 + 12.0 * F.col("id")).alias("lo"),
+        (920.0 + 12.0 * F.col("id")).alias("hi"))
+    out = range_join_point(part, bands, "p_retailprice", "lo", "hi", 16.0)
+    return (out.select("p_partkey", "band_id")
+            .orderBy("p_partkey", "band_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1424,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_remove_where_search": q50_remove_where_search,
         "q51_stratified_sample": q51_stratified_sample,
         "q52_corpus_mix": q52_corpus_mix,
+        "q53_asof_join": q53_asof_join,
+        "q54_range_join": q54_range_join,
     }
 
 
@@ -2214,6 +2265,39 @@ def oracle_sql() -> dict[str, str]:
                                       || chr(31) || 'q52'), 1, 15))::UBIGINT
                   < thr.thr
             ORDER BY d.doc_id
+        """,
+        # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
+        # for the union+window re-expression (ties at equal ts match;
+        # right side deduped to unique (user, ts) in both engines).
+        "q53_asof_join": """
+            WITH v0 AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view'),
+            v AS (SELECT user_id, ts, event_id, value FROM v0
+                  WHERE rn = 1),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   v.event_id AS view_event_id,
+                   epoch_us(v.ts) AS view_ts_us,
+                   v.value AS view_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.event_id
+        """,
+        # q54: range join — the bin+refine equi-join must equal the plain
+        # inequality join over the same generated overlapping bands.
+        "q54_range_join": """
+            SELECT p.p_partkey, b.band_id
+            FROM part p
+            JOIN (SELECT i::INTEGER AS band_id,
+                         895.0 + 12.0 * i AS lo,
+                         920.0 + 12.0 * i AS hi
+                  FROM range(10) t(i)) b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            ORDER BY p.p_partkey, b.band_id
         """,
         # q34: novelty == token-SET non-membership. A row's content key is
         # determined by (role, tool-unless-none/null, distinct word set),
