@@ -1419,6 +1419,28 @@ def q54_range_join(spark, sf_dir):
             .orderBy("p_partkey", "band_id"))
 
 
+def q55_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (`textops.dedup_clusters`): connected
+    components over the q16 MinHash pair set via iterative min-label
+    propagation (2 shuffles/round, rounds = component diameter), the
+    step that turns pairwise near-dup output into keep/drop decisions —
+    one canonical doc (the min id) per cluster. q16 runs at recall 1 and
+    exact verification, so the pair set equals the exact-Jaccard pairs
+    and the oracle can cluster the SAME graph with a recursive CTE
+    (min reachable id == component min on a symmetric graph)."""
+    from mdbloom.spark.textops import dedup_clusters, minhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, num_perm=64, bands=64, n=3,
+                              threshold=0.5)
+    cl = dedup_clusters(pairs)
+    return (cl.select(F.col("node").alias("doc_id"),
+                      F.col("cluster").alias("cluster_id"),
+                      (F.col("node") == F.col("cluster"))
+                      .alias("is_canonical"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1475,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_corpus_mix": q52_corpus_mix,
         "q53_asof_join": q53_asof_join,
         "q54_range_join": q54_range_join,
+        "q55_dedup_clusters": q55_dedup_clusters,
     }
 
 
@@ -2265,6 +2288,29 @@ def oracle_sql() -> dict[str, str]:
                                       || chr(31) || 'q52'), 1, 15))::UBIGINT
                   < thr.thr
             ORDER BY d.doc_id
+        """,
+        # q55: connected components over the exact-Jaccard pair graph
+        # (q16's pairs at recall 1): a recursive CTE propagates labels
+        # along the symmetric edges, so min(reachable id) per node is
+        # the component min — the same cluster ids the iterative Spark
+        # label propagation converges to.
+        "q55_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b FROM ({_jaccard_oracle_sql(None)})),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+            lab AS (
+                SELECT node, min(lab) AS cluster_id FROM reach
+                GROUP BY node)
+            SELECT node AS doc_id, cluster_id,
+                   node = cluster_id AS is_canonical
+            FROM lab ORDER BY doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

@@ -548,3 +548,60 @@ def mix_corpora(sources, key_cols, salt: str = "") -> DataFrame:
         part = df.where(sample_hash(key_cols, salt) < F.lit(thr))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------- near-dup clustering (connected components) ----------------
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair list -> (node, cluster)
+    with ``cluster`` = min node id in the component — the step that
+    turns pairwise near-dup output (MinHash/SimHash/cosine) into
+    actionable keep/drop decisions: one canonical doc per cluster.
+
+    Iterative min-label propagation: every round pushes each node's
+    current label across its edges and keeps the per-node min (one join
+    + one min-aggregate = 2 shuffles/round), until a fixed point. Rounds
+    needed = component diameter; near-dup clusters are dense and
+    shallow (stars/cliques around a template), so 2-4 rounds is
+    typical — the pathological long-chain case is bounded by
+    ``max_iter``. Each round is lineage-checkpointed so plans don't
+    nest across iterations. Only nodes appearing in ``pairs`` are
+    returned (singletons are their own trivial cluster — union them in
+    from the corpus if needed)."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))  # consumed every round
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label"))
+        new = (labels.unionByName(prop)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds")
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop every non-canonical near-dup: keep rows whose id is its
+    cluster's min (or appears in no pair). One anti-join against the
+    non-canonical node set."""
+    drop = (dedup_clusters(pairs, **kw)
+            .where(F.col("node") != F.col("cluster"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

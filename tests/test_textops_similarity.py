@@ -372,3 +372,52 @@ def test_ann_md5_planes_recall_and_determinism(emb_planted, tmp_path):
         if src_id in got:
             found += 1
     assert found >= 7, f"md5-plane planted recall {found}/8"
+
+
+# ---------------- dedup clustering (connected components) ----------------
+
+
+def test_dedup_clusters_components(spark):
+    from mdbloom.spark.textops import dedup_clusters
+    # components: {1,2,3,4} (chain), {10,11}, pathological chain {20..24}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11),
+         (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long")
+    got = {r.node: r.cluster
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_dedup_clusters_order_and_duplicates_invariant(spark):
+    from mdbloom.spark.textops import dedup_clusters
+    # reversed/duplicated edges and reversed id order give same clusters
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 3), (9, 5)], "id_a long, id_b long")
+    got = {r.node: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3}
+
+
+def test_dedup_clusters_empty_and_max_iter(spark):
+    import pytest as _pytest
+    from mdbloom.spark.textops import dedup_clusters
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(chain, max_iter=1)
+
+
+def test_dedup_keep_canonical(spark):
+    from mdbloom.spark.textops import dedup_keep_canonical
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 10, 11, 99]],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_canonical(docs, pairs).collect())
+    # cluster minima survive; the unpaired doc 99 is untouched
+    assert kept == [1, 10, 99]
