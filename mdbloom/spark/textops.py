@@ -578,7 +578,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
              .localCheckpoint(eager=True))  # consumed every round
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(max_iter):
+    # max_iter + 1: a graph converging in exactly max_iter propagation
+    # rounds needs one extra round to OBSERVE changed == 0
+    converged = False
+    for _ in range(max_iter + 1):
         prop = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "label"))
         new = (labels.unionByName(prop)
@@ -587,10 +590,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
         changed = (new.join(labels.withColumnRenamed("label", "old"),
                             "node")
                    .where(F.col("label") != F.col("old")).count())
+        # the changed-count above ran eagerly, so the previous round's
+        # checkpoint blocks can be dropped now — keeps at most two label
+        # tables live instead of max_iter of them
+        labels.rdd.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
-    else:
+    edges.rdd.unpersist()
+    if not converged:
+        labels.rdd.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds")
     return labels.select("node", F.col("label").alias("cluster"))

@@ -421,3 +421,14 @@ def test_dedup_keep_canonical(spark):
                   dedup_keep_canonical(docs, pairs).collect())
     # cluster minima survive; the unpaired doc 99 is untouched
     assert kept == [1, 10, 99]
+
+
+def test_dedup_clusters_converges_at_exact_budget(spark):
+    """A chain needing exactly max_iter propagation rounds must succeed:
+    the observation round (changed == 0) is budgeted on top."""
+    from mdbloom.spark.textops import dedup_clusters
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r.node: r.cluster
+           for r in dedup_clusters(chain, max_iter=3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
