@@ -1441,6 +1441,20 @@ def q55_dedup_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q56_exact_sample(spark, sf_dir):
+    """Exact-size deterministic sample (`textops.sample_exact_n`): the
+    100 documents with the smallest content hash — reproducible on any
+    cluster shape, planned as TakeOrderedAndProject (per-partition
+    top-n, no full sort shuffle), and nested (the 150-sample contains
+    the 100-sample). The oracle re-derives the identical hash order in
+    SQL and takes the same LIMIT."""
+    from mdbloom.spark.textops import sample_exact_n
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_exact_n(docs, ["doc_id"], 100, salt="q56")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1498,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_asof_join": q53_asof_join,
         "q54_range_join": q54_range_join,
         "q55_dedup_clusters": q55_dedup_clusters,
+        "q56_exact_sample": q56_exact_sample,
     }
 
 
@@ -2311,6 +2326,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, cluster_id,
                    node = cluster_id AS is_canonical
             FROM lab ORDER BY doc_id
+        """,
+        # q56: exact-n deterministic sample — same hash order, same LIMIT.
+        "q56_exact_sample": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source FROM documents
+                ORDER BY ('0x' || substr(md5(cast(doc_id AS VARCHAR)
+                              || chr(31) || 'q56'), 1, 15))::UBIGINT
+                LIMIT 100)
+            ORDER BY doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

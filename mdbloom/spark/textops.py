@@ -491,6 +491,20 @@ def sample_deterministic(df: DataFrame, key_cols, fraction: float,
                     < F.lit(int(fraction * SAMPLE_SPACE)))
 
 
+def sample_exact_n(df: DataFrame, key_cols, n: int,
+                   salt: str = "") -> DataFrame:
+    """Exact-size deterministic sample: the ``n`` rows with the smallest
+    content hash — the exact-count companion to
+    :func:`sample_deterministic`'s Bernoulli form. Plans as
+    TakeOrderedAndProject (per-partition top-n, then a driver merge of
+    n rows per partition — no full sort shuffle). Nested like the
+    fraction form: the (n+1)-sample contains the n-sample. Keys should
+    be unique per row — rows sharing a full key share a hash, making
+    the cut between them arbitrary."""
+    h = sample_hash(key_cols, salt)
+    return df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, key_cols,
                       default_fraction: float = 0.0,

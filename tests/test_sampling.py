@@ -121,3 +121,20 @@ def test_sample_membership_matches_duckdb(spark, docs):
                                   || 'q51'), 1, 15))::UBIGINT < {thr}
         ORDER BY doc_id""").fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_sample_exact_n_deterministic_and_nested(docs):
+    from mdbloom.spark.textops import sample_exact_n
+    s100 = sorted(r.doc_id for r in
+                  sample_exact_n(docs, ["doc_id"], 100).collect())
+    again = sorted(r.doc_id for r in
+                   sample_exact_n(docs.repartition(13), ["doc_id"], 100)
+                   .collect())
+    assert len(s100) == 100 and s100 == again
+    s150 = sorted(r.doc_id for r in
+                  sample_exact_n(docs, ["doc_id"], 150).collect())
+    assert set(s100) <= set(s150)
+    # top-n plan, not a global sort
+    plan = sample_exact_n(docs, ["doc_id"], 100) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
