@@ -548,14 +548,30 @@ def mix_thresholds(sizes, weights):
     ]
 
 
-def mix_corpora(sources, key_cols, salt: str = "") -> DataFrame:
+def mix_corpora(sources, key_cols, salt: str = "",
+                size_col: str | None = None) -> DataFrame:
     """Deterministic weighted corpus mix: ``sources`` is a list of
     (DataFrame, integer_weight); the result unions a per-source
     deterministic sample whose expected sizes are proportional to the
     weights (the training-mix operator: blend web/books/code corpora at
     5:3:1 without materializing counts driver-side beyond one count()
-    aggregate per source). Schemas must align (union by name)."""
-    sizes = [df.count() for df, _ in sources]
+    aggregate per source). Schemas must align (union by name).
+
+    ``size_col``: measure source size as ``sum(size_col)`` (an integer
+    column, e.g. a token count) instead of the row count — training
+    mixes target TOKEN budgets, and a source of few long documents
+    should weigh as much as one of many short ones. Sampling stays
+    row-level Bernoulli, so the expected token proportions match the
+    weights exactly when within-source doc length is independent of the
+    key hash (it is: the hash is content-keyed, not length-keyed)."""
+    if size_col is None:
+        sizes = [df.count() for df, _ in sources]
+    else:
+        sizes = [df.agg(F.sum(size_col)).head()[0] or 0
+                 for df, _ in sources]
+        if any(int(s) != s for s in sizes):
+            raise ValueError(f"size_col must be integral: {sizes}")
+        sizes = [int(s) for s in sizes]
     thrs = mix_thresholds(sizes, [w for _, w in sources])
     out = None
     for (df, _), thr in zip(sources, thrs):

@@ -138,3 +138,31 @@ def test_sample_exact_n_deterministic_and_nested(docs):
     plan = sample_exact_n(docs, ["doc_id"], 100) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mix_corpora_token_budget(spark):
+    """size_col weighs sources by token budget, not doc count: a source
+    of few long docs balances one of many short ones."""
+    from mdbloom.spark.textops import mix_corpora
+    # a: 2000 docs x 10 tokens (20k); b: 100 docs x 100 tokens (10k)
+    a = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                 F.lit(10).alias("n_tok"),
+                                 F.lit("a").alias("src"))
+    b = spark.range(5000, 5100).select(F.col("id").alias("doc_id"),
+                                       F.lit(100).alias("n_tok"),
+                                       F.lit("b").alias("src"))
+    # 1:1 token mix -> binding source is b (10k tokens at weight 1);
+    # a downsamples to ~10k tokens = ~1000 docs
+    out = mix_corpora([(a, 1), (b, 1)], ["doc_id"], size_col="n_tok")
+    got = {r.src: (r["cnt"], r["tok"]) for r in
+           out.groupBy("src").agg(F.count("*").alias("cnt"),
+                                  F.sum("n_tok").alias("tok")).collect()}
+    assert got["b"] == (100, 10000)          # kept whole
+    assert abs(got["a"][1] - 10000) < 1400   # ~4 sigma on token sum
+    # doc-count mode differs: a falls to ~100 DOCS (vs ~1000 in token
+    # mode) because the 1:1 target is now row counts
+    out2 = mix_corpora([(a, 1), (b, 1)], ["doc_id"])
+    got2 = {r.src: r["count"]
+            for r in out2.groupBy("src").count().collect()}
+    assert got2["b"] == 100
+    assert abs(got2["a"] - 100) < 45  # 4 sigma at p=0.05, n=2000
