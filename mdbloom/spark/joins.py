@@ -52,6 +52,10 @@ def asof_join(left: DataFrame, right: DataFrame, on,
         raise ValueError(f"direction must be backward|forward: {direction}")
     on = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
+    # a NULL right timestamp satisfies no as-of predicate in any engine
+    # (ts >= NULL is never true); without this filter the asc NULLS
+    # FIRST ordering would carry its payload forward as a phantom match
+    right = right.where(F.col(right_ts).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
@@ -82,7 +86,11 @@ def asof_join(left: DataFrame, right: DataFrame, on,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (both
                .withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
-               .where(F.col("__is_left") == 1))
+               .where(F.col("__is_left") == 1)
+               # NULL left ts matches nothing either (desc sorts NULLS
+               # LAST, which would otherwise see every right row)
+               .withColumn("__m", F.when(F.col("__ts").isNotNull(),
+                                         F.col("__m"))))
     if tolerance is not None:
         gap = (F.col("__ts") - F.col("__m.__ts")) if direction == "backward" \
             else (F.col("__m.__ts") - F.col("__ts"))
@@ -136,11 +144,20 @@ def range_join_point(points: DataFrame, intervals: DataFrame,
     if how == "inner":
         return joined
     # left: add back unmatched points (bin miss OR refine fail) with NULL
-    # interval columns — one anti-join against the matched point rows
+    # interval columns — one anti-join against the matched point rows.
+    # NULL-SAFE equality: name-list anti-joins compare with `=`, whose
+    # NULL result would re-add every matched point that has a NULL in
+    # any payload column as a spurious unmatched row
     iv_cols = [c for c in intervals.columns if c not in extra_on]
-    missing = points.join(
-        joined.select(*points.columns).dropDuplicates(points.columns),
-        points.columns, "left_anti")
+    matched_pts = (joined.select(*points.columns)
+                   .dropDuplicates(points.columns).alias("__m"))
+    pts = points.alias("__p")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = eq if cond is None else cond & eq
+    missing = (pts.join(matched_pts, cond, "left_anti")
+               .select(*[F.col(f"__p.{c}") for c in points.columns]))
     for c in iv_cols:
         missing = missing.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c]))

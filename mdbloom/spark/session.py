@@ -86,3 +86,18 @@ def rebalance_input(df, min_parts: int | None = None):
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
+
+
+def release_checkpoint(df) -> None:
+    """Free a ``localCheckpoint()`` result's cached blocks NOW instead of
+    waiting for JVM GC + ContextCleaner. ``df.rdd.unpersist()`` is a
+    silent no-op — it unpersists a freshly derived python-facing RDD,
+    not the blocks, which belong to the checkpointed plan's internal
+    LogicalRDD (verified against getPersistentRDDs). Best-effort: on
+    anything that is not a checkpoint result this does nothing."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # blocks fall back to ContextCleaner lifetime

@@ -474,10 +474,18 @@ _SAMPLE_SEP = "\x1f"  # ASCII unit separator: never in the synthetic corpora
 def sample_hash(key_cols, salt: str = ""):
     """Column: top-60-bit md5 of the concatenated key columns (+salt) —
     uniform on [0, 2^60). ``salt`` yields independent samples from the
-    same keys (disjoint train/eval splits, repeated trials)."""
-    key = F.concat_ws(_SAMPLE_SEP,
-                      *[F.col(c).cast("string") for c in key_cols],
-                      F.lit(salt))
+    same keys (disjoint train/eval splits, repeated trials).
+
+    NULL keys: any NULL key column makes the hash NULL, so the row is
+    EXCLUDED from every sample — the same semantics as the documented
+    DuckDB mirror (``||`` propagates NULL). concat_ws would instead
+    silently skip the NULL part, colliding (NULL,'x') with ('x',NULL)
+    and diverging from SQL; ``coalesce`` upstream if NULL keys should
+    participate."""
+    parts: list = []
+    for c in key_cols:
+        parts += [F.col(c).cast("string"), F.lit(_SAMPLE_SEP)]
+    key = F.concat(*parts, F.lit(salt))  # F.concat propagates NULL
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
 
 
@@ -513,6 +521,9 @@ def stratified_sample(df: DataFrame, strata_col: str,
     step of a training mix (e.g. downsample 'en' to 10%, keep every
     low-resource language). One codegen CASE over the stratum column
     picks the threshold; strata not listed get ``default_fraction``."""
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0,1], got {default_fraction}")
     for v, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {v!r} must be in [0,1]")
@@ -564,14 +575,22 @@ def mix_corpora(sources, key_cols, salt: str = "",
     row-level Bernoulli, so the expected token proportions match the
     weights exactly when within-source doc length is independent of the
     key hash (it is: the hash is content-keyed, not length-keyed)."""
-    if size_col is None:
-        sizes = [df.count() for df, _ in sources]
-    else:
-        sizes = [df.agg(F.sum(size_col)).head()[0] or 0
-                 for df, _ in sources]
-        if any(int(s) != s for s in sizes):
-            raise ValueError(f"size_col must be integral: {sizes}")
-        sizes = [int(s) for s in sizes]
+    # ONE Spark job for every source size (a per-source count() would
+    # add O(n_sources) sequential driver round-trips to the hot path):
+    # tag a minimal projection of each source, union, one aggregate
+    measure = (F.count(F.lit(1)) if size_col is None
+               else F.sum(size_col))
+    tagged = None
+    for i, (df, _) in enumerate(sources):
+        t = df.select(F.lit(i).alias("__src"),
+                      *([size_col] if size_col else []))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    by_src = {r["__src"]: r["sz"] for r in
+              tagged.groupBy("__src").agg(measure.alias("sz")).collect()}
+    sizes = [by_src.get(i, 0) or 0 for i in range(len(sources))]
+    if any(int(s) != s for s in sizes):
+        raise ValueError(f"size_col must be integral: {sizes}")
+    sizes = [int(s) for s in sizes]
     thrs = mix_thresholds(sizes, [w for _, w in sources])
     out = None
     for (df, _), thr in zip(sources, thrs):
@@ -600,6 +619,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     nest across iterations. Only nodes appearing in ``pairs`` are
     returned (singletons are their own trivial cluster — union them in
     from the corpus if needed)."""
+    from mdbloom.spark.session import release_checkpoint
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("src"),
@@ -622,15 +642,16 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                    .where(F.col("label") != F.col("old")).count())
         # the changed-count above ran eagerly, so the previous round's
         # checkpoint blocks can be dropped now — keeps at most two label
-        # tables live instead of max_iter of them
-        labels.rdd.unpersist()
+        # tables live instead of max_iter of them (release_checkpoint,
+        # not df.rdd.unpersist, which is a no-op on checkpoint blocks)
+        release_checkpoint(labels)
         labels = new
         if changed == 0:
             converged = True
             break
-    edges.rdd.unpersist()
+    release_checkpoint(edges)
     if not converged:
-        labels.rdd.unpersist()
+        release_checkpoint(labels)
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds")
     return labels.select("node", F.col("label").alias("cluster"))

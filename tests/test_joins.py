@@ -140,3 +140,39 @@ def test_range_join_no_cartesian(ranges):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_null_right_ts_is_no_match(spark):
+    """A NULL right timestamp satisfies no as-of predicate (ts >= NULL
+    is never true in SQL) — it must not become a phantom match."""
+    l = spark.createDataFrame([(1, 100)], "k int, t int")
+    r = spark.createDataFrame([(1, None, "phantom"), (1, 200, "future")],
+                              "k int, t int, rv string")
+    out = asof_join(l, r, "k", left_ts="t").collect()[0]
+    assert out.rv is None and out.t_r is None
+    # forward: t=200 IS a valid match; the NULL row still is not
+    fwd = asof_join(l, r, "k", left_ts="t",
+                    direction="forward").collect()[0]
+    assert fwd.rv == "future" and fwd.t_r == 200
+
+
+def test_asof_null_left_ts_is_no_match(spark):
+    l = spark.createDataFrame([(1, None)], "k int, t int")
+    r = spark.createDataFrame([(1, 5, "x")], "k int, t int, rv string")
+    for d in ("backward", "forward"):
+        out = asof_join(l, r, "k", left_ts="t", direction=d).collect()[0]
+        assert out.rv is None and out.t_r is None
+
+
+def test_range_join_left_null_payload_not_duplicated(spark):
+    """NULL-safe anti-join: a matched point with a NULL payload column
+    must not reappear as a spurious unmatched row."""
+    P = spark.createDataFrame([(1, 5.0, None), (2, 99.0, "note")],
+                              "pid int, p double, note string")
+    I = spark.createDataFrame([(7, 0.0, 10.0)],
+                              "iid int, lo double, hi double")
+    out = range_join_point(P, I, "p", "lo", "hi", 8.0, how="left") \
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "pid"] == 1 and out.loc[0, "iid"] == 7
+    assert out.loc[1, "pid"] == 2 and pd.isna(out.loc[1, "iid"])

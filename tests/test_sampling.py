@@ -166,3 +166,34 @@ def test_mix_corpora_token_budget(spark):
             for r in out2.groupBy("src").count().collect()}
     assert got2["b"] == 100
     assert abs(got2["a"] - 100) < 45  # 4 sigma at p=0.05, n=2000
+
+
+def test_sample_hash_null_key_excluded_matches_sql(spark):
+    """NULL keys hash to NULL and drop out of every sample — the same
+    rows SQL's NULL-propagating || concatenation would drop; and
+    multi-column keys must not collide (NULL,'x') with ('x',NULL)."""
+    from mdbloom.spark.textops import sample_deterministic
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("a", "b")], "k1 string, k2 string")
+    kept = sample_deterministic(df, ["k1", "k2"], 1.0).collect()
+    assert [(r.k1, r.k2) for r in kept] == [("a", "b")]
+
+
+def test_stratified_default_fraction_validated(docs):
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_sample(docs, "lang", {"lang0": 0.5}, ["doc_id"],
+                          default_fraction=1.7)
+
+
+def test_dedup_clusters_releases_checkpoints(spark):
+    from mdbloom.spark.textops import dedup_clusters
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = dedup_clusters(pairs)
+    out.count()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # edges + all but the FINAL label checkpoint released (the returned
+    # frame still needs its own blocks)
+    assert after <= before + 1
