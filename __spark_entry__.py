@@ -1455,6 +1455,45 @@ def q56_exact_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q57_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (`similarity.IvfFlatIndex`) — the coarse-quantizer
+    scale path next to q22's LSH variant: 8 deterministic hash-sampled
+    centroids, vectors partitioned by nearest-centroid list at build
+    time, probe reads only the nprobe=2 closest lists (PartitionFilters
+    on list_id) + exact cosine top-10. The oracle re-derives the
+    centroid sample (same md5 order), every assignment (argmax cosine,
+    ties to the lower centroid rank), the probed lists, and the re-rank
+    — entirely in SQL."""
+    import numpy as np
+    from mdbloom.spark.similarity import IvfFlatIndex
+    emb = _t(spark, sf_dir, "embeddings")
+    probe_row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    probe = np.asarray(probe_row[0], dtype=np.float64)
+    key = hashlib.md5(f"{sf_dir}:ivf:8".encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"ivf_idx_{key}")
+    if not os.path.exists(os.path.join(path, "config.json")):
+        IvfFlatIndex.build(emb.where(F.col("vec_id") != 0), path,
+                           nlist=8, salt="ivf")
+    idx = IvfFlatIndex(spark, path)
+    return idx.topk(probe, k=10, nprobe=2).select("vec_id") \
+        .orderBy("vec_id")
+
+
+def q58_conversation_rollup(spark, sf_dir):
+    """Per-conversation rollup with the order-pinned text fingerprint
+    (`transcripts.conversation_rollup`) — the north rule's 'per-turn
+    text equality under stable (conv_id, turn_idx) ordering' invariant
+    as a driver-checked query: the oracle recomputes every fingerprint
+    with `string_agg(text, chr(1) ORDER BY turn_idx)`, so a single
+    reordered / dropped / mutated turn anywhere in the corpus breaks
+    the value hash."""
+    from mdbloom.spark.transcripts import conversation_rollup
+    df = _transcripts_table(spark)
+    return (conversation_rollup(df)
+            .withColumn("chars", F.col("chars").cast("long"))
+            .orderBy("conv_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1513,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_range_join": q54_range_join,
         "q55_dedup_clusters": q55_dedup_clusters,
         "q56_exact_sample": q56_exact_sample,
+        "q57_ivf_topk": q57_ivf_topk,
+        "q58_conversation_rollup": q58_conversation_rollup,
     }
 
 
@@ -2335,6 +2376,63 @@ def oracle_sql() -> dict[str, str]:
                               || chr(31) || 'q56'), 1, 15))::UBIGINT
                 LIMIT 100)
             ORDER BY doc_id
+        """,
+        # q57: the WHOLE IVF pipeline in SQL — hash-sampled centroids
+        # (same md5 order as `similarity.ivf_centroids`), argmax-cosine
+        # assignment (ties to the lower centroid rank), probed lists,
+        # exact re-rank.
+        "q57_ivf_topk": """
+            WITH cents AS (
+                SELECT row_number() OVER (
+                           ORDER BY md5('ivf' || '_' ||
+                                        CAST(vec_id AS VARCHAR)),
+                                    vec_id) - 1 AS cid,
+                       embedding AS cv
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id <> 0
+                      ORDER BY md5('ivf' || '_' ||
+                                   CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 8)),
+            assign AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding, c.cv) DESC,
+                                    c.cid) AS rk
+                FROM embeddings e, cents c WHERE e.vec_id <> 0),
+            probe AS (SELECT embedding AS pv FROM embeddings
+                      WHERE vec_id = 0),
+            plists AS (
+                SELECT cid FROM cents, probe
+                ORDER BY list_cosine_similarity(pv, cv) DESC, cid
+                LIMIT 2),
+            cand AS (
+                SELECT a.vec_id FROM assign a
+                JOIN plists USING (cid) WHERE a.rk = 1),
+            scored AS (
+                SELECT c.vec_id,
+                       list_cosine_similarity(e.embedding, pv) AS cosine
+                FROM cand c JOIN embeddings e USING (vec_id), probe)
+            SELECT vec_id FROM (
+                SELECT vec_id FROM scored
+                ORDER BY cosine DESC, vec_id LIMIT 10)
+            ORDER BY vec_id
+        """,
+        # q58: order-pinned conversation fingerprints — string_agg with
+        # an explicit ORDER BY turn_idx is the ANSI mirror of the
+        # array_sort(collect_list(struct)) aggregate.
+        "q58_conversation_rollup": rf"""
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   COUNT(DISTINCT role) AS n_roles,
+                   COUNT(tool) AS n_tool_turns,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+                   md5(string_agg(text, chr(1) ORDER BY turn_idx))
+                       AS text_fp
+            FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+            GROUP BY conv_id
+            ORDER BY conv_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

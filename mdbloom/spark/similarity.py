@@ -323,3 +323,128 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ------------------------------------------------------------------ IVF
+
+def ivf_centroids(df: DataFrame, nlist: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  salt: str = "ivf") -> list[tuple[int, object, np.ndarray]]:
+    """Deterministic sampled centroids: the ``nlist`` corpus vectors whose
+    ``md5(salt || '_' || id)`` sorts lowest, ranked in that hash order —
+    the same engine-independent content-hash family as
+    ``textops.sample_hash``, so DuckDB re-derives the identical centroid
+    set and ranks. Sampled (not k-means-trained) centroids are the
+    standard cheap IVF bootstrap; a trained codebook can be passed to
+    :meth:`IvfFlatIndex.build` via ``centroids=`` without changing any
+    query-side code. Cost: one TakeOrdered over (hash, id) — no shuffle
+    beyond the top-``nlist`` reduction; the collect is nlist rows of
+    metadata scale, never data scale."""
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.concat_ws("_", F.lit(salt),
+                                       F.col(id_col).cast("string"))),
+                     F.col(id_col))
+            .limit(nlist).collect())
+    return [(rank, r[0], np.asarray(r[1], dtype=np.float64))
+            for rank, r in enumerate(rows)]
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, list_id): nearest-centroid assignment by cosine, ties to
+    the lowest centroid rank (np.argmax keeps the first maximum — the
+    same rule as SQL's ``ORDER BY cosine DESC, cid``). One Arrow pass:
+    the (nlist, dim) unit-centroid matrix is a closure broadcast and each
+    batch costs a single matmul; rows never shuffle — at 100 TB this is
+    a map-only stage feeding the partitioned write."""
+    cmat = np.stack([c[2] for c in centroids])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            lists = np.argmax((mat / norms) @ cmat.T, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col].to_numpy(),
+                "list_id": lists.astype(np.int32),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, "
+                       "list_id int")
+
+
+class IvfFlatIndex:
+    """Persisted IVF-flat ANN index — the coarse-quantizer counterpart to
+    :class:`AnnLshIndex` (the prompt's 'IVF or LSH-bucketed variant'):
+    vectors are bucketed by nearest centroid at build time and a probe
+    re-ranks only the ``nprobe`` closest inverted lists.
+
+    Layout: ``lists/`` parquet partitioned by ``list_id`` with vectors
+    embedded; ``config.json`` carries the centroid matrix (nlist x dim —
+    driver-side planning data, kilobytes). A probe costs: an O(nlist)
+    NumPy centroid scan on the driver, then a partition-pruned read of
+    nprobe/nlist of the corpus + exact cosine top-k. At 100 TB with
+    nlist=4096, nprobe=8 a probe touches ~0.2% of the data and the plan
+    shows PartitionFilters on list_id — no full scan, no shuffle except
+    the top-k reduction."""
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "config.json")) as f:
+            self.cfg = json.loads(f.read())
+        self._cmat = np.asarray(self.cfg["centroids"], dtype=np.float64)
+
+    @staticmethod
+    def build(df: DataFrame, path: str, nlist: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              salt: str = "ivf", centroids=None) -> "IvfFlatIndex":
+        """``centroids=`` accepts a pre-trained (rank, id, vector) list
+        (e.g. from a k-means run) — the deterministic hash-sampled
+        bootstrap is only the default."""
+        import json
+        import os
+        if centroids is None:
+            centroids = ivf_centroids(df, nlist, id_col, vec_col, salt)
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        (assigned.repartition("list_id")
+         .write.mode("overwrite").partitionBy("list_id")
+         .parquet(os.path.join(path, "lists")))
+        cfg = {"nlist": len(centroids), "id_col": id_col,
+               "vec_col": vec_col, "salt": salt,
+               "centroids": [c[2].tolist() for c in centroids]}
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(json.dumps(cfg))
+        return IvfFlatIndex(df.sparkSession, path)
+
+    def probe_lists(self, probe: np.ndarray, nprobe: int) -> list[int]:
+        """Driver-side planning: the nprobe centroid ranks closest to the
+        probe by cosine (ties to the lower rank — argsort is stable)."""
+        probe = np.asarray(probe, dtype=np.float64)
+        cmat = self._cmat / np.linalg.norm(self._cmat, axis=1,
+                                           keepdims=True)
+        cos = cmat @ (probe / np.linalg.norm(probe))
+        order = np.argsort(-cos, kind="stable")
+        return [int(i) for i in order[:nprobe]]
+
+    def topk(self, probe: np.ndarray, k: int = 10,
+             nprobe: int = 2) -> DataFrame:
+        """Approximate top-k: partition-pruned read of the nprobe nearest
+        lists + exact cosine re-rank. Recall is the probability the true
+        neighbours' lists are probed; lifted by nprobe (tests assert
+        recall vs brute force, and nprobe=nlist == exact)."""
+        import os
+        cfg = self.cfg
+        lists = self.probe_lists(probe, nprobe)
+        cand = (self.spark.read.parquet(os.path.join(self.path, "lists"))
+                .where(F.col("list_id").isin(lists))
+                .select(cfg["id_col"], cfg["vec_col"]))
+        return cosine_topk(cand, probe, k, cfg["id_col"], cfg["vec_col"])

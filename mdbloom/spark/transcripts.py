@@ -133,3 +133,33 @@ def with_shard(df: DataFrame, n_shards: int) -> DataFrame:
     return df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col("conv_id")),
                         F.lit(n_shards)).cast("int"))
+
+
+def conversation_rollup(df: DataFrame, conv_col: str = "conv_id",
+                        turn_col: str = "turn_idx", text_col: str = "text",
+                        role_col: str = "role",
+                        tool_col: str = "tool") -> DataFrame:
+    """Per-conversation rollup with an ORDER-PINNED text fingerprint —
+    the north rule's 'per-turn text equality under stable (conv_id,
+    turn_idx) ordering' invariant expressed as a queryable operator:
+    ``text_fp = md5(texts joined by \\x01 in turn_idx order)``, so ANY
+    reordering, drop, duplication, or single-character drift in any turn
+    changes the conversation's fingerprint. One hash-aggregate (one
+    shuffle on conv_col); collect_list is per-conversation (bounded by
+    the longest conversation, not the corpus) and array_sort pins the
+    order independent of partitioning — the aggregate itself is
+    order-independent, so the result is identical at any parallelism.
+
+    Reference frame: the reference has no transcript layer (its unit is
+    one Bloom filter, `ContainerImpl.java:155-182`); this is the corpus-
+    integrity operator a 10^12-turn ingest needs before trusting any
+    index built over it."""
+    ordered = F.array_sort(F.collect_list(F.struct(turn_col, text_col)))
+    fp = F.md5(F.array_join(
+        F.transform(ordered, lambda s: s[text_col]), "\x01"))
+    return (df.groupBy(conv_col)
+            .agg(F.count("*").alias("n_turns"),
+                 F.countDistinct(role_col).alias("n_roles"),
+                 F.count(tool_col).alias("n_tool_turns"),
+                 F.sum(F.length(text_col)).alias("chars"),
+                 fp.alias("text_fp")))

@@ -373,3 +373,53 @@ def test_get_bitexact_variants_match_content_key_get(
         # superset: extra token's bits make equality impossible
         sup = list(toks) + ["tok=zzunstoredzz"]
         assert ids(r.get_bitexact(sup, via=via)) == [], via
+
+
+# ---------------- conversation rollup (order-pinned fingerprint) --------
+
+def test_conversation_rollup_matches_pandas(spark, transcripts_df,
+                                            transcripts_pdf):
+    """n_turns/n_roles/chars/text_fp per conversation vs a driver-side
+    pandas recomputation in explicit turn_idx order."""
+    from mdbloom.spark.transcripts import conversation_rollup
+    import hashlib
+    got = conversation_rollup(transcripts_df).toPandas() \
+        .set_index("conv_id").sort_index()
+    p = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    want_fp = p.groupby("conv_id")["text"].apply(
+        lambda s: hashlib.md5("\x01".join(s).encode()).hexdigest())
+    assert (got["text_fp"] == want_fp.sort_index()).all()
+    assert (got["n_turns"] == p.groupby("conv_id").size().sort_index()).all()
+    assert (got["chars"] == p.groupby("conv_id")["text"]
+            .apply(lambda s: s.str.len().sum()).sort_index()).all()
+
+
+def test_conversation_rollup_order_and_mutation_sensitive(spark):
+    """The fingerprint is invariant to PARTITIONING but flips on a
+    single swapped pair of turn_idx values or one mutated character."""
+    from pyspark.sql import functions as F
+
+    from mdbloom.spark.transcripts import (conversation_rollup,
+                                           synthesize_transcripts)
+    base = synthesize_transcripts(spark, 200, seed=9, n_partitions=3)
+    a = conversation_rollup(base).toPandas().set_index("conv_id")
+    b = conversation_rollup(base.repartition(11)) \
+        .toPandas().set_index("conv_id")
+    assert (a.sort_index()["text_fp"] == b.sort_index()["text_fp"]).all()
+    # swap turns 0 and 1 of one conversation: same rows, new order
+    conv = a.index[0]
+    swapped = base.withColumn(
+        "turn_idx",
+        F.when((F.col("conv_id") == conv) & (F.col("turn_idx") < 2),
+               F.lit(1) - F.col("turn_idx")).otherwise(F.col("turn_idx")))
+    c = conversation_rollup(swapped).toPandas().set_index("conv_id")
+    assert c.loc[conv, "text_fp"] != a.loc[conv, "text_fp"]
+    assert (c.drop(conv).sort_index()["text_fp"]
+            == a.drop(conv).sort_index()["text_fp"]).all()
+    mutated = base.withColumn(
+        "text",
+        F.when((F.col("conv_id") == conv) & (F.col("turn_idx") == 0),
+               F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")))
+    d = conversation_rollup(mutated).toPandas().set_index("conv_id")
+    assert d.loc[conv, "text_fp"] != a.loc[conv, "text_fp"]

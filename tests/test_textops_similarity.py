@@ -432,3 +432,71 @@ def test_dedup_clusters_converges_at_exact_budget(spark):
     got = {r.node: r.cluster
            for r in dedup_clusters(chain, max_iter=3).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+# ---------------------------- IVF-flat ANN ----------------------------
+
+def test_ivf_assignment_covering_and_deterministic(emb, tmp_path):
+    """Every vector lands in exactly one list in [0, nlist); a rebuild
+    from the same input reproduces the identical assignment (hash-sampled
+    centroids + argmax are deterministic — no RNG state anywhere)."""
+    p1, p2 = str(tmp_path / "ivf_a"), str(tmp_path / "ivf_b")
+    i1 = S.IvfFlatIndex.build(emb, p1, nlist=8)
+    i2 = S.IvfFlatIndex.build(emb, p2, nlist=8)
+    sp = emb.sparkSession
+    a1 = sp.read.parquet(f"{p1}/lists").select("vec_id", "list_id") \
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    a2 = sp.read.parquet(f"{p2}/lists").select("vec_id", "list_id") \
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a1.equals(a2)
+    n = emb.count()
+    assert len(a1) == n and a1["vec_id"].is_unique
+    assert a1["list_id"].between(0, 7).all()
+    assert i1.cfg["centroids"] == i2.cfg["centroids"]
+
+
+def test_ivf_full_probe_equals_brute_force(emb, emb_pdf, tmp_path):
+    """nprobe == nlist must reproduce the exact brute-force top-k — the
+    inverted lists partition the corpus, they never drop rows."""
+    idx = S.IvfFlatIndex.build(emb, str(tmp_path / "ivf_full"), nlist=8)
+    mat = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    for probe in (mat[3], mat[11]):
+        got = idx.topk(probe, k=10, nprobe=8) \
+            .toPandas()["vec_id"].tolist()
+        want = S.cosine_topk(emb, probe, k=10) \
+            .toPandas()["vec_id"].tolist()
+        assert got == want
+
+
+def test_ivf_probe_prunes_partitions(emb, tmp_path):
+    """A nprobe=2 probe must read ONLY the lists/ table with a partition
+    filter on list_id — never the corpus, never the other lists."""
+    idx = S.IvfFlatIndex.build(emb, str(tmp_path / "ivf_prune"), nlist=8)
+    probe = np.asarray(
+        emb.where(F.col("vec_id") == 5).head()["embedding"], np.float64)
+    df = idx.topk(probe, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "list_id IN" in plan or "list_id#" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    lists = idx.probe_lists(probe, 2)
+    n_cand = (emb.sparkSession.read.parquet(f"{idx.path}/lists")
+              .where(F.col("list_id").isin(lists)).count())
+    assert 0 < n_cand < emb.count()
+
+
+def test_ivf_planted_recall(emb_planted, tmp_path):
+    """A jittered near-copy (cosine >= ~0.99) sits essentially on top of
+    its source, so both resolve to the same centroid: small-nprobe
+    probes must find the planted source."""
+    sp, pdf = emb_planted
+    idx = S.IvfFlatIndex.build(sp, str(tmp_path / "ivf_rec"), nlist=8)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    found = 0
+    for i in range(8):
+        probe = mat[len(pdf) - 20 + i]
+        src_id = int(pdf["vec_id"].iloc[len(pdf) - 20 + i]) - 100_000
+        got = idx.topk(probe, k=3, nprobe=2).toPandas()["vec_id"].tolist()
+        if src_id in got:
+            found += 1
+    assert found >= 7, f"planted IVF recall {found}/8"
