@@ -1494,6 +1494,32 @@ def q58_conversation_rollup(spark, sf_dir):
             .orderBy("conv_id"))
 
 
+def q59_context_windows(spark, sf_dir):
+    """Sliding context-window assembly (`transcripts.conversation_windows`):
+    per turn, the last 4 turns of its conversation as a model context —
+    fingerprinted (md5 over \\x01-joined texts) so the oracle pins every
+    byte of every window via windowed `string_agg(... ORDER BY
+    turn_idx)` without the result carrying the windows themselves."""
+    from mdbloom.spark.transcripts import conversation_windows
+    df = _transcripts_table(spark)
+    return (conversation_windows(df, k=4)
+            .orderBy("conv_id", "turn_idx"))
+
+
+def q60_redaction(spark, sf_dir):
+    """PII-style scrubbing (`textops.redact`): replace rare-token
+    mentions (w049xx — the tail of the Zipf vocabulary) and count
+    matches per document; output fingerprints the rewritten text.
+    All-JVM regexp_replace/regexp_count, map-only."""
+    from mdbloom.spark.textops import redact
+    df = _transcripts_table(spark)
+    out = redact(df, r"w049[0-9]{2}", "<RARE>", id_col="conv_id")
+    return (out.select("conv_id", "turn_idx", "n_redactions",
+                       F.md5("text").alias("text_fp"))
+            .where(F.col("n_redactions") > 0)
+            .orderBy("conv_id", "turn_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1554,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_exact_sample": q56_exact_sample,
         "q57_ivf_topk": q57_ivf_topk,
         "q58_conversation_rollup": q58_conversation_rollup,
+        "q59_context_windows": q59_context_windows,
+        "q60_redaction": q60_redaction,
     }
 
 
@@ -2433,6 +2461,32 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
             GROUP BY conv_id
             ORDER BY conv_id
+        """,
+        # q59: windowed string_agg with the same ROWS frame is the ANSI
+        # mirror of collect_list().over(rowsBetween) — every context
+        # window byte-pinned through its md5.
+        "q59_context_windows": rf"""
+            SELECT conv_id, turn_idx,
+                   COUNT(*) OVER w AS n_ctx_turns,
+                   CAST(LENGTH(string_agg(text, chr(1)) OVER w)
+                        AS BIGINT) AS ctx_chars,
+                   md5(string_agg(text, chr(1)) OVER w) AS ctx_fp
+            FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY conv_id, turn_idx
+        """,
+        # q60: redaction — regexp dialect kept to the common subset so
+        # Java regex (Spark) and RE2 (DuckDB) agree token-for-token.
+        "q60_redaction": rf"""
+            SELECT conv_id, turn_idx,
+                   CAST(LENGTH(regexp_extract_all(text, 'w049[0-9]{{2}}')
+                        ) AS BIGINT) AS n_redactions,
+                   md5(regexp_replace(text, 'w049[0-9]{{2}}', '<RARE>',
+                                      'g')) AS text_fp
+            FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+            WHERE regexp_matches(text, 'w049[0-9]{{2}}')
+            ORDER BY conv_id, turn_idx
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

@@ -666,3 +666,19 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
             .where(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
+
+
+def redact(df: DataFrame, pattern: str, replacement: str = "<REDACTED>",
+           id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """PII-style scrubbing: replace every regex match and report the
+    match count per document — (id, n_redactions, text) with the text
+    rewritten in place. Pure JVM regexp_replace/regexp_count (whole-
+    stage codegen, no shuffle, trivially map-only at any scale). Use a
+    regex dialect common to engines (character classes, quantifiers,
+    alternation — no lookbehind) if results must be SQL-reproducible."""
+    return df.withColumn(
+        "n_redactions",
+        F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")) \
+        .withColumn(text_col,
+                    F.regexp_replace(F.col(text_col), pattern, replacement))

@@ -163,3 +163,31 @@ def conversation_rollup(df: DataFrame, conv_col: str = "conv_id",
                  F.count(tool_col).alias("n_tool_turns"),
                  F.sum(F.length(text_col)).alias("chars"),
                  fp.alias("text_fp")))
+
+
+def conversation_windows(df: DataFrame, k: int = 4,
+                         conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx",
+                         text_col: str = "text") -> DataFrame:
+    """Sliding context-window assembly — the training-data op that turns
+    a flat turn table into per-turn model contexts: for every turn, the
+    texts of the last ``k`` turns of its conversation (frame-bounded,
+    turn_idx order), exposed as (n_ctx_turns, ctx_chars, ctx_fp) with
+    ``ctx_fp = md5(texts joined by \\x01)`` so the oracle pins every
+    byte of every window without shipping the windows themselves.
+
+    One shuffle (partitionBy conv); the frame is ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW, so state per row is bounded by k and the
+    longest conversation bounds a partition — no corpus-wide sort. At
+    10^12 turns this is the same plan: hash-partition on conv_id, sort
+    within partitions, single windowed pass."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(conv_col).orderBy(turn_col)
+         .rowsBetween(-(k - 1), Window.currentRow))
+    ctx_arr = F.collect_list(text_col).over(w)
+    ctx = F.array_join(ctx_arr, "\x01")
+    return df.select(
+        F.col(conv_col), F.col(turn_col),
+        F.size(ctx_arr).cast("long").alias("n_ctx_turns"),
+        F.length(ctx).cast("long").alias("ctx_chars"),
+        F.md5(ctx).alias("ctx_fp"))

@@ -423,3 +423,40 @@ def test_conversation_rollup_order_and_mutation_sensitive(spark):
         .otherwise(F.col("text")))
     d = conversation_rollup(mutated).toPandas().set_index("conv_id")
     assert d.loc[conv, "text_fp"] != a.loc[conv, "text_fp"]
+
+
+def test_conversation_windows_match_pandas(spark, transcripts_df,
+                                           transcripts_pdf):
+    """Every k=3 context window vs a driver-side rolling join in explicit
+    turn order; leading turns get truncated windows (frame-bounded)."""
+    from mdbloom.spark.transcripts import conversation_windows
+    import hashlib
+    got = conversation_windows(transcripts_df, k=3).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    p = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    for conv, grp in list(p.groupby("conv_id"))[:10]:
+        texts = grp["text"].tolist()
+        for i, t in enumerate(grp["turn_idx"]):
+            ctx = "\x01".join(texts[max(0, i - 2):i + 1])
+            row = got.loc[(conv, t)]
+            assert row["n_ctx_turns"] == min(i + 1, 3)
+            assert row["ctx_chars"] == len(ctx)
+            assert row["ctx_fp"] == hashlib.md5(ctx.encode()).hexdigest()
+
+
+def test_redact_counts_and_rewrites(spark, transcripts_df,
+                                    transcripts_pdf):
+    import re
+
+    from mdbloom.spark.textops import redact
+    pat = r"w049[0-9]{2}"
+    got = redact(transcripts_df, pat, "<X>", id_col="conv_id") \
+        .toPandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    p = transcripts_pdf.sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    assert (got["n_redactions"]
+            == p["text"].map(lambda t: len(re.findall(pat, t)))).all()
+    assert (got["text"]
+            == p["text"].map(lambda t: re.sub(pat, "<X>", t))).all()
+    assert got["n_redactions"].sum() > 0
