@@ -1520,6 +1520,33 @@ def q60_redaction(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+def q61_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (`textops.pack_sequences`):
+    documents laid out in deterministic content-hash order and cut into
+    2048-token bins — pure integer window arithmetic, so the oracle
+    reproduces every (bin_id, bin_offset) exactly from the same hash
+    order and running sum."""
+    from mdbloom.spark.textops import pack_sequences
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long"))
+    out = pack_sequences(docs, budget=2048, key_cols=["doc_id"],
+                         salt="q61")
+    return (out.select("doc_id", "n_tokens", "bin_id", "bin_offset")
+            .orderBy("doc_id"))
+
+
+def q62_sft_pairs(spark, sf_dir):
+    """SFT (prompt, response) pair extraction (`transcripts.sft_pairs`):
+    assistant turns immediately preceded by a user turn in the same
+    conversation; both texts pinned via pair_fp = md5(prompt || \\x01 ||
+    response). One window lag — the oracle is the same lag in ANSI
+    SQL."""
+    from mdbloom.spark.transcripts import sft_pairs
+    return sft_pairs(_transcripts_table(spark)) \
+        .orderBy("conv_id", "turn_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1582,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_conversation_rollup": q58_conversation_rollup,
         "q59_context_windows": q59_context_windows,
         "q60_redaction": q60_redaction,
+        "q61_pack_sequences": q61_pack_sequences,
+        "q62_sft_pairs": q62_sft_pairs,
     }
 
 
@@ -2486,6 +2515,45 @@ def oracle_sql() -> dict[str, str]:
                                       'g')) AS text_fp
             FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
             WHERE regexp_matches(text, 'w049[0-9]{{2}}')
+            ORDER BY conv_id, turn_idx
+        """,
+        # q61: packing — same hash order (q56's md5 family), same running
+        # sum, integer bin arithmetic (// because DuckDB / is float).
+        "q61_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text),
+                                                      '\\s+'))
+                            AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || chr(31) || 'q61'), 1, 15))::UBIGINT AS h
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS pre
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(pre // 2048 AS BIGINT) AS bin_id,
+                   CAST(pre % 2048 AS BIGINT) AS bin_offset
+            FROM c ORDER BY doc_id
+        """,
+        # q62: SFT pairs — the same window lag in ANSI SQL.
+        "q62_sft_pairs": rf"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS pr,
+                       lag(text) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS pt
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet'))
+            SELECT conv_id, turn_idx,
+                   CAST(LENGTH(pt) AS BIGINT) AS prompt_chars,
+                   CAST(LENGTH(text) AS BIGINT) AS response_chars,
+                   md5(pt || chr(1) || text) AS pair_fp
+            FROM t WHERE role = 'assistant' AND pr = 'user'
             ORDER BY conv_id, turn_idx
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle

@@ -682,3 +682,35 @@ def redact(df: DataFrame, pattern: str, replacement: str = "<REDACTED>",
         F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")) \
         .withColumn(text_col,
                     F.regexp_replace(F.col(text_col), pattern, replacement))
+
+
+def pack_sequences(df: DataFrame, budget: int, key_cols,
+                   token_col: str = "n_tokens",
+                   salt: str = "pack") -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pre-training
+    batching step: documents are laid out in a DETERMINISTIC content-hash
+    order (engine- and partitioning-independent, same family as
+    :func:`sample_hash`) and the stream is cut into fixed ``budget``-token
+    bins; each document is assigned the bin where it STARTS
+    (``bin_id = floor(preceding_tokens / budget)``), with its offset
+    inside that bin. Pure integer window arithmetic — one global
+    ordering (range-partitioned sort at scale, Spark's default for
+    window-over-unbounded), zero Python, bit-identical on any engine.
+
+    The closing-bin first-fit variant (a bin closes when the next doc
+    doesn't fit) is inherently sequential; production packers use
+    concat-and-chunk for exactly that reason — it's the one that
+    parallelizes."""
+    from pyspark.sql.window import Window
+    h = sample_hash(key_cols, salt)
+    order = [F.col("__h")] + [F.col(c) for c in key_cols]
+    w = (Window.orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (df.withColumn("__h", h)
+           .withColumn("__before",
+                       F.coalesce(F.sum(token_col).over(w), F.lit(0)))
+           .withColumn("bin_id",
+                       (F.col("__before") / budget).cast("long"))
+           .withColumn("bin_offset",
+                       (F.col("__before") % budget).cast("long")))
+    return out.drop("__h", "__before")

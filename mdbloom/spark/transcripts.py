@@ -191,3 +191,35 @@ def conversation_windows(df: DataFrame, k: int = 4,
         F.size(ctx_arr).cast("long").alias("n_ctx_turns"),
         F.length(ctx).cast("long").alias("ctx_chars"),
         F.md5(ctx).alias("ctx_fp"))
+
+
+def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
+              turn_col: str = "turn_idx", role_col: str = "role",
+              text_col: str = "text") -> DataFrame:
+    """(prompt, response) pair extraction for supervised fine-tuning:
+    every assistant turn whose immediately preceding turn (same
+    conversation, turn order) is a user turn. One window lag over the
+    conv partition — same shuffle/frame shape as
+    :func:`conversation_windows`, so the 10^12-turn plan is one
+    hash-partition + in-partition sort. Pairs are emitted as
+    (conv, turn, prompt_chars, response_chars, pair_fp) with
+    ``pair_fp = md5(prompt || \\x01 || response)`` pinning both texts."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    # materialize the lags BEFORE filtering — a window expression used
+    # after the .where() would re-evaluate over the filtered frame and
+    # silently pair each response with the previous PAIR's response
+    return (df.select(F.col(conv_col), F.col(turn_col),
+                      F.col(role_col),
+                      F.lag(role_col).over(w).alias("__pr"),
+                      F.lag(text_col).over(w).alias("__pt"),
+                      F.col(text_col))
+            .where((F.col(role_col) == "assistant")
+                   & (F.col("__pr") == "user"))
+            .select(conv_col, turn_col,
+                    F.length("__pt").cast("long").alias("prompt_chars"),
+                    F.length(text_col).cast("long")
+                    .alias("response_chars"),
+                    F.md5(F.concat_ws("\x01", F.col("__pt"),
+                                      F.col(text_col)))
+                    .alias("pair_fp")))

@@ -197,3 +197,42 @@ def test_dedup_clusters_releases_checkpoints(spark):
     # edges + all but the FINAL label checkpoint released (the returned
     # frame still needs its own blocks)
     assert after <= before + 1
+
+
+# ----------------------- sequence packing -----------------------
+
+def test_pack_sequences_chunk_arithmetic(docs):
+    """bin_id/bin_offset follow the running token sum in hash order:
+    recompute driver-side from the operator's own hash column order."""
+    from mdbloom.spark.textops import pack_sequences
+    toked = docs.withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long") +
+        F.col("doc_id") % 13)  # vary the lengths
+    got = pack_sequences(toked, budget=512, key_cols=["doc_id"],
+                         salt="t").toPandas()
+    order = toked.select("doc_id",
+                         sample_hash(["doc_id"], "t").alias("h")) \
+        .toPandas().sort_values(["h", "doc_id"])["doc_id"].tolist()
+    g = got.set_index("doc_id")
+    pre = 0
+    for d in order:
+        assert g.loc[d, "bin_id"] == pre // 512
+        assert g.loc[d, "bin_offset"] == pre % 512
+        pre += int(g.loc[d, "n_tokens"])
+
+
+def test_pack_sequences_partitioning_invariant(docs):
+    from mdbloom.spark.textops import pack_sequences
+    docs = docs.withColumn("n_tokens", F.lit(7).cast("long"))
+    a = pack_sequences(docs, 100, ["doc_id"]).select(
+        "doc_id", "bin_id", "bin_offset").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(docs.repartition(13), 100, ["doc_id"]).select(
+        "doc_id", "bin_id", "bin_offset").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # every bin except the last is fully covered: offsets of docs
+    # starting in bin k are < budget and bins are contiguous from 0
+    assert set(a["bin_id"]) == set(range(int(a["bin_id"].max()) + 1))
+    assert (a["bin_offset"] < 100).all() and (a["bin_offset"] >= 0).all()

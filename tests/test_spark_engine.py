@@ -460,3 +460,25 @@ def test_redact_counts_and_rewrites(spark, transcripts_df,
     assert (got["text"]
             == p["text"].map(lambda t: re.sub(pat, "<X>", t))).all()
     assert got["n_redactions"].sum() > 0
+
+
+def test_sft_pairs_match_pandas(spark, transcripts_df, transcripts_pdf):
+    """Each extracted pair is (user turn t-1, assistant turn t) — checked
+    against a driver-side shift; no pair crosses conversations."""
+    import hashlib
+
+    from mdbloom.spark.transcripts import sft_pairs
+    got = sft_pairs(transcripts_df).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    p = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    prev_role = p.groupby("conv_id")["role"].shift(1)
+    prev_text = p.groupby("conv_id")["text"].shift(1)
+    mask = (p["role"] == "assistant") & (prev_role == "user")
+    want = p[mask]
+    assert len(got) == int(mask.sum()) > 0
+    for (_, r), pt in zip(want.iterrows(), prev_text[mask]):
+        row = got.loc[(r["conv_id"], r["turn_idx"])]
+        assert row["prompt_chars"] == len(pt)
+        assert row["response_chars"] == len(r["text"])
+        assert row["pair_fp"] == hashlib.md5(
+            (pt + "\x01" + r["text"]).encode()).hexdigest()
