@@ -693,9 +693,18 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
     :func:`sample_hash`) and the stream is cut into fixed ``budget``-token
     bins; each document is assigned the bin where it STARTS
     (``bin_id = floor(preceding_tokens / budget)``), with its offset
-    inside that bin. Pure integer window arithmetic — one global
-    ordering (range-partitioned sort at scale, Spark's default for
-    window-over-unbounded), zero Python, bit-identical on any engine.
+    inside that bin. Pure integer arithmetic, bit-identical on any
+    engine and at any parallelism.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window (a
+    ``Window.orderBy`` with no partition key moves the whole corpus to
+    ONE partition in Spark): range-repartition on the hash order, a
+    per-partition running sum (bounded state), then each partition's
+    global offset comes from one metadata-sized aggregate (one row per
+    partition, cumulated on the driver and broadcast back as a join).
+    Result is independent of the (sampled) range boundaries because the
+    (hash, key) order is total. Two passes over the tokens column, both
+    shuffle-free after the single range exchange.
 
     The closing-bin first-fit variant (a bin closes when the next doc
     doesn't fit) is inherently sequential; production packers use
@@ -704,13 +713,32 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
     from pyspark.sql.window import Window
     h = sample_hash(key_cols, salt)
     order = [F.col("__h")] + [F.col(c) for c in key_cols]
-    w = (Window.orderBy(*order)
+    ranged = (df.withColumn("__h", h)
+              .repartitionByRange(*order)
+              .withColumn("__pid", F.spark_partition_id()))
+    from pyspark import StorageLevel
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # one row per partition -> driver cumsum -> broadcast join back
+    totals = (ranged.groupBy("__pid")
+              .agg(F.sum(token_col).alias("__t"))
+              .collect())
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += int(r["__t"] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off long")
+    w = (Window.partitionBy("__pid").orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, -1))
-    out = (df.withColumn("__h", h)
-           .withColumn("__before",
+    out = (ranged
+           .withColumn("__within",
                        F.coalesce(F.sum(token_col).over(w), F.lit(0)))
+           .join(F.broadcast(off_df), "__pid")
+           .withColumn("__before", F.col("__off") + F.col("__within"))
            .withColumn("bin_id",
                        (F.col("__before") / budget).cast("long"))
            .withColumn("bin_offset",
                        (F.col("__before") % budget).cast("long")))
-    return out.drop("__h", "__before")
+    return out.drop("__h", "__pid", "__within", "__off", "__before")

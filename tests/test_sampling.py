@@ -236,3 +236,9 @@ def test_pack_sequences_partitioning_invariant(docs):
     # starting in bin k are < budget and bins are contiguous from 0
     assert set(a["bin_id"]) == set(range(int(a["bin_id"].max()) + 1))
     assert (a["bin_offset"] < 100).all() and (a["bin_offset"] >= 0).all()
+    # scale shape: distributed prefix sum — range exchange, per-partition
+    # windows, NO single-partition global window
+    plan = pack_sequences(docs, 100, ["doc_id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
