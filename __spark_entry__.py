@@ -1547,6 +1547,20 @@ def q62_sft_pairs(spark, sf_dir):
         .orderBy("conv_id", "turn_idx")
 
 
+def q63_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (`textops.decontaminate`): flag train
+    documents sharing any word 5-gram with a 25-doc held-out eval set
+    (the deterministic q56-style hash sample, salt 'q63'). Eval-side
+    shingles broadcast; the corpus streams map-only through the join —
+    the standard pre-training hygiene pass at its real scale shape."""
+    from mdbloom.spark.textops import decontaminate, sample_exact_n
+    docs = _t(spark, sf_dir, "documents")
+    ev = sample_exact_n(docs, ["doc_id"], 25, salt="q63")
+    train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+    return (decontaminate(train, ev, n=5)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1611,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_redaction": q60_redaction,
         "q61_pack_sequences": q61_pack_sequences,
         "q62_sft_pairs": q62_sft_pairs,
+        "q63_decontaminate": q63_decontaminate,
     }
 
 
@@ -2555,6 +2570,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(pt || chr(1) || text) AS pair_fp
             FROM t WHERE role = 'assistant' AND pr = 'user'
             ORDER BY conv_id, turn_idx
+        """,
+        # q63: decontamination — same hash-sampled eval set, same
+        # distinct 5-gram shingles, same overlap counts.
+        "q63_decontaminate": rf"""
+            WITH ev_ids AS (
+                SELECT doc_id FROM documents
+                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || chr(31) || 'q63'), 1, 15))::UBIGINT
+                LIMIT 25),
+            d AS (SELECT doc_id, {_WORDS} AS words FROM documents
+                  WHERE len({_WORDS}) >= 5),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(words[i:i+4], ' ') AS shingle
+                FROM d, UNNEST(range(1, len(words) - 3)) AS t(i)),
+            tr AS (SELECT * FROM sh
+                   WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)),
+            ev AS (SELECT DISTINCT shingle, doc_id AS eval_id
+                   FROM sh JOIN ev_ids USING (doc_id))
+            SELECT tr.doc_id,
+                   COUNT(DISTINCT tr.shingle) AS n_shared_shingles,
+                   COUNT(DISTINCT ev.eval_id) AS n_eval_docs_hit
+            FROM tr JOIN ev USING (shingle)
+            GROUP BY tr.doc_id
+            ORDER BY tr.doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

@@ -742,3 +742,30 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
            .withColumn("bin_offset",
                        (F.col("__before") % budget).cast("long")))
     return out.drop("__h", "__pid", "__within", "__off", "__before")
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination — flag every training document sharing
+    at least one word ``n``-gram with an evaluation set: (id,
+    n_shared_shingles, n_eval_docs_hit). The standard pre-training
+    hygiene step (eval answers leaking into train data).
+
+    Scale shape: the eval side is tiny relative to train (benchmarks are
+    KBs, corpora are TBs), so its distinct shingles BROADCAST — the
+    train-side scan streams map-only through a broadcast hash join, no
+    shuffle of the corpus, then one hash-aggregate on the surviving
+    (rare) contaminated rows. Long n-grams (n=8 default) make chance
+    collisions negligible, the usual published setting. To DROP the
+    flagged docs: ``train.join(decontaminate(...), id_col,
+    "left_anti")``."""
+    tr = shingles_df(train, n, id_col, text_col)
+    ev = (shingles_df(eval_df, n, id_col, text_col)
+          .select(F.col("shingle"),
+                  F.col(id_col).alias("__eval_id"))
+          .distinct())
+    return (tr.join(F.broadcast(ev), "shingle")
+            .groupBy(id_col)
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                 F.countDistinct("__eval_id").alias("n_eval_docs_hit")))

@@ -500,3 +500,37 @@ def test_ivf_planted_recall(emb_planted, tmp_path):
         if src_id in got:
             found += 1
     assert found >= 7, f"planted IVF recall {found}/8"
+
+
+# --------------------------- decontamination ---------------------------
+
+def test_decontaminate_matches_pandas_and_broadcasts(docs, docs_pdf):
+    """Flagged ids + overlap counts vs a driver-side set computation;
+    the eval side must enter the plan as a broadcast join (the corpus
+    never shuffles)."""
+    ev_ids = set(docs_pdf["doc_id"].iloc[:15])
+    ev = docs.where(F.col("doc_id").isin(list(ev_ids)))
+    train = docs.where(~F.col("doc_id").isin(list(ev_ids)))
+    out = T.decontaminate(train, ev, n=4)
+    got = out.toPandas().set_index("doc_id").sort_index()
+
+    def shingle_set(text, n=4):
+        w = text.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    ev_sh = {}
+    for r in docs_pdf[docs_pdf["doc_id"].isin(ev_ids)].itertuples():
+        ev_sh[r.doc_id] = shingle_set(r.text)
+    all_ev = set().union(*ev_sh.values()) if ev_sh else set()
+    want = {}
+    for r in docs_pdf[~docs_pdf["doc_id"].isin(ev_ids)].itertuples():
+        sh = shingle_set(r.text)
+        shared = sh & all_ev
+        if shared:
+            hit = sum(1 for s in ev_sh.values() if s & sh)
+            want[r.doc_id] = (len(shared), hit)
+    assert dict(zip(got.index,
+                    zip(got["n_shared_shingles"],
+                        got["n_eval_docs_hit"]))) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
