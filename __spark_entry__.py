@@ -1561,6 +1561,21 @@ def q63_decontaminate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q64_repetition_stats(spark, sf_dir):
+    """Gopher-rule repetition signals (`textops.repetition_stats`):
+    duplicate word/2-gram/3-gram fractions + top-word share per
+    document — integer counts divided once at the end, so every double
+    is engine-deterministic. The flagged rows (any Gopher threshold
+    exceeded) are what a pre-training pipeline drops."""
+    from mdbloom.spark.textops import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, max_ngram=3)
+    return (out.where(F.col("n_tokens") >= 3)
+            .select("doc_id", "n_tokens", "dup_word_frac",
+                    "dup_2gram_frac", "dup_3gram_frac", "top_word_frac")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1626,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_pack_sequences": q61_pack_sequences,
         "q62_sft_pairs": q62_sft_pairs,
         "q63_decontaminate": q63_decontaminate,
+        "q64_repetition_stats": q64_repetition_stats,
     }
 
 
@@ -2595,6 +2611,46 @@ def oracle_sql() -> dict[str, str]:
             FROM tr JOIN ev USING (shingle)
             GROUP BY tr.doc_id
             ORDER BY tr.doc_id
+        """,
+        # q64: repetition signals — identical integer counts, one final
+        # double division per fraction.
+        "q64_repetition_stats": rf"""
+            WITH d AS (
+                SELECT doc_id, {_WORDS} AS words FROM documents),
+            base AS (
+                SELECT doc_id, len(words) AS n,
+                       len(list_distinct(words)) AS nd
+                FROM d WHERE len(words) >= 3),
+            g2 AS (
+                SELECT doc_id, COUNT(*) AS tot,
+                       COUNT(DISTINCT array_to_string(words[i:i+1], ' '))
+                           AS dis
+                FROM d, UNNEST(range(1, len(words))) AS t(i)
+                GROUP BY doc_id),
+            g3 AS (
+                SELECT doc_id, COUNT(*) AS tot,
+                       COUNT(DISTINCT array_to_string(words[i:i+2], ' '))
+                           AS dis
+                FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)
+                GROUP BY doc_id),
+            tw AS (
+                SELECT doc_id, MAX(c) AS mc FROM (
+                    SELECT doc_id, w, COUNT(*) AS c FROM (
+                        SELECT doc_id, unnest(words) AS w FROM d)
+                    GROUP BY doc_id, w)
+                GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(b.n AS INT) AS n_tokens,
+                   1.0 - CAST(b.nd AS DOUBLE) / b.n AS dup_word_frac,
+                   1.0 - CAST(g2.dis AS DOUBLE) / g2.tot
+                       AS dup_2gram_frac,
+                   1.0 - CAST(g3.dis AS DOUBLE) / g3.tot
+                       AS dup_3gram_frac,
+                   CAST(tw.mc AS DOUBLE) / b.n AS top_word_frac
+            FROM base b
+            JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+            JOIN tw USING (doc_id)
+            ORDER BY b.doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

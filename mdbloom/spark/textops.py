@@ -769,3 +769,48 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 8,
             .groupBy(id_col)
             .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
                  F.countDistinct("__eval_id").alias("n_eval_docs_hit")))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_ngram: int = 3) -> DataFrame:
+    """Gopher-rule repetition signals (Rae et al. 2021 §A1.1's
+    duplicate-n-gram / top-word filters, the standard quality gate
+    before LLM pre-training): per document
+    ``dup_word_frac = 1 - distinct/total tokens``,
+    ``dup_{n}gram_frac`` for n=2..max_ngram, and ``top_word_frac``
+    (most frequent token's share). All integer counts divided at the
+    end — deterministic doubles on any engine.
+
+    Scale shape: the n-gram fractions are per-row ARRAY arithmetic
+    (map-only, codegen); only top_word_frac needs aggregation —
+    explode -> two hash-aggregates with map-side partial combine
+    (distinct (doc, word) then per-doc max), hash-joined back on the
+    id at one-row-per-doc cardinality. Everything stays JVM-side."""
+    w = words_col(text_col)
+    cols = [F.col(id_col),
+            F.size(w).alias("n_tokens"),
+            (F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w))
+            .alias("dup_word_frac")]
+    def grams(n):
+        # NOTE: the inner lambda must stay single-arg — PySpark treats a
+        # two-arg transform lambda as (element, index), so binding n via
+        # a default parameter would silently receive the array index
+        return F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+
+    for n in range(2, max_ngram + 1):
+        g = grams(n)
+        cols.append(
+            F.when(F.size(w) >= n,
+                   F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g))
+            .alias(f"dup_{n}gram_frac"))
+    base = df.select(*cols)
+    top = (df.select(F.col(id_col), F.explode(w).alias("__w"))
+           .groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+           .groupBy(id_col).agg(F.max("__c").alias("__mc")))
+    return (base.join(top, id_col)
+            .withColumn("top_word_frac",
+                        F.col("__mc") / F.col("n_tokens"))
+            .drop("__mc"))

@@ -534,3 +534,28 @@ def test_decontaminate_matches_pandas_and_broadcasts(docs, docs_pdf):
                         got["n_eval_docs_hit"]))) == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed Gopher signals on planted documents: a clean doc,
+    a doc that is one word repeated, and a doc with a repeated phrase."""
+    rows = [
+        (1, "a b c d e"),                     # all distinct
+        (2, "x x x x"),                       # one word repeated
+        (3, "p q r p q r p q"),               # repeated phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.repetition_stats(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "dup_word_frac"] == 0.0
+    assert got.loc[1, "dup_2gram_frac"] == 0.0
+    assert got.loc[1, "top_word_frac"] == pytest.approx(1 / 5)
+    assert got.loc[2, "dup_word_frac"] == pytest.approx(3 / 4)
+    # "x x" appears 3 times -> 1 distinct of 3
+    assert got.loc[2, "dup_2gram_frac"] == pytest.approx(1 - 1 / 3)
+    assert got.loc[2, "top_word_frac"] == 1.0
+    # doc 3: 8 tokens {p:3,q:3,r:2}; 7 2-grams, distinct {pq,qr,rp} = 3
+    assert got.loc[3, "dup_word_frac"] == pytest.approx(1 - 3 / 8)
+    assert got.loc[3, "dup_2gram_frac"] == pytest.approx(1 - 3 / 7)
+    # 6 3-grams: pqr qrp rpq x2 each... distinct {pqr,qrp,rpq} = 3
+    assert got.loc[3, "dup_3gram_frac"] == pytest.approx(1 - 3 / 6)
+    assert got.loc[3, "top_word_frac"] == pytest.approx(3 / 8)
