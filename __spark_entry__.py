@@ -1576,6 +1576,17 @@ def q64_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q65_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex pretokenization (`textops.bpe_tokens`): GPT-2-shape
+    token counts next to whitespace counts, the exact token stream
+    pinned by md5 — the prompt's 'token counting (whitespace + a
+    BPE-ish regex)' as one map-only query; the oracle recomputes every
+    token with the same RE2-safe pattern."""
+    from mdbloom.spark.textops import bpe_tokens
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_tokens(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1642,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_sft_pairs": q62_sft_pairs,
         "q63_decontaminate": q63_decontaminate,
         "q64_repetition_stats": q64_repetition_stats,
+        "q65_bpe_tokens": q65_bpe_tokens,
     }
 
 
@@ -2651,6 +2663,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
             JOIN tw USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # q65: BPE-ish pretokenization — same RE2-safe pattern, same
+        # token stream (md5-pinned).
+        "q65_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS n_ws_tokens,
+                   md5(array_to_string(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'),
+                        chr(1))) AS bpe_fp
+            FROM documents
+            ORDER BY doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

@@ -814,3 +814,28 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             .withColumn("top_word_frac",
                         F.col("__mc") / F.col("n_tokens"))
             .drop("__mc"))
+
+
+# GPT-2-style pretokenizer, restricted to the Java-regex ∩ RE2 common
+# subset (NO lookahead — the original's \s+(?!\S) tail is unsupported by
+# RE2, so trailing whitespace runs simply tokenize as whitespace-joined
+# groups the same way in both engines)
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """BPE-ish regex pretokenization (the GPT-2 pretokenizer shape:
+    space-prefixed letter runs / digit runs / punctuation runs) next to
+    the whitespace count — the token-budget measure an LLM pipeline
+    actually bills by, vs the word count quality heuristics use. Output
+    pins the exact token stream via ``bpe_fp = md5(tokens joined by
+    \\x01)``. Map-only, all JVM regex (codegen), engine-reproducible
+    because the pattern avoids every construct RE2 lacks."""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_ISH_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(words_col(text_col)).cast("long").alias("n_ws_tokens"),
+        F.md5(F.array_join(toks, "\x01")).alias("bpe_fp"))

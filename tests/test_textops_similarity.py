@@ -559,3 +559,17 @@ def test_repetition_stats_planted(spark):
     # 6 3-grams: pqr qrp rpq x2 each... distinct {pqr,qrp,rpq} = 3
     assert got.loc[3, "dup_3gram_frac"] == pytest.approx(1 - 3 / 6)
     assert got.loc[3, "top_word_frac"] == pytest.approx(3 / 8)
+
+
+def test_bpe_tokens_planted(spark):
+    """Hand-checked pretokenization: mixed letters/digits/punct, space
+    prefixes attach to the following run."""
+    import hashlib
+    rows = [(1, "hello world42, it's x!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.bpe_tokens(df).toPandas().iloc[0]
+    toks = ["hello", " world", "42", ",", " it", "'", "s", " x", "!"]
+    assert got["n_bpe_tokens"] == len(toks)
+    assert got["n_ws_tokens"] == 4
+    assert got["bpe_fp"] == hashlib.md5(
+        "\x01".join(toks).encode()).hexdigest()
