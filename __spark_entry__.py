@@ -1471,10 +1471,14 @@ def q57_ivf_topk(spark, sf_dir):
     probe = np.asarray(probe_row[0], dtype=np.float64)
     key = hashlib.md5(f"{sf_dir}:ivf:8".encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, f"ivf_idx_{key}")
-    if not os.path.exists(os.path.join(path, "config.json")):
-        IvfFlatIndex.build(emb.where(F.col("vec_id") != 0), path,
-                           nlist=8, salt="ivf")
-    idx = IvfFlatIndex(spark, path)
+    try:
+        # constructor validates format_version — a cached dir from an
+        # older layout raises instead of being silently reinterpreted
+        idx = IvfFlatIndex(spark, path)
+    except (OSError, ValueError, KeyError):
+        shutil.rmtree(path, ignore_errors=True)
+        idx = IvfFlatIndex.build(emb.where(F.col("vec_id") != 0), path,
+                                 nlist=8, salt="ivf")
     return idx.topk(probe, k=10, nprobe=2).select("vec_id") \
         .orderBy("vec_id")
 
@@ -1513,7 +1517,7 @@ def q60_redaction(spark, sf_dir):
     All-JVM regexp_replace/regexp_count, map-only."""
     from mdbloom.spark.textops import redact
     df = _transcripts_table(spark)
-    out = redact(df, r"w049[0-9]{2}", "<RARE>", id_col="conv_id")
+    out = redact(df, r"w049[0-9]{2}", "<RARE>")
     return (out.select("conv_id", "turn_idx", "n_redactions",
                        F.md5("text").alias("text_fp"))
             .where(F.col("n_redactions") > 0)
@@ -1526,10 +1530,9 @@ def q61_pack_sequences(spark, sf_dir):
     2048-token bins — pure integer window arithmetic, so the oracle
     reproduces every (bin_id, bin_offset) exactly from the same hash
     order and running sum."""
-    from mdbloom.spark.textops import pack_sequences
+    from mdbloom.spark.textops import pack_sequences, words_col
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long"))
+        "n_tokens", F.size(words_col("text")).cast("long"))
     out = pack_sequences(docs, budget=2048, key_cols=["doc_id"],
                          salt="q61")
     return (out.select("doc_id", "n_tokens", "bin_id", "bin_offset")
@@ -2669,12 +2672,12 @@ def oracle_sql() -> dict[str, str]:
         "q65_bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
-                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+'))
                         AS BIGINT) AS n_bpe_tokens,
                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
                         AS BIGINT) AS n_ws_tokens,
                    md5(array_to_string(regexp_extract_all(text,
-                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'),
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+'),
                         chr(1))) AS bpe_fp
             FROM documents
             ORDER BY doc_id

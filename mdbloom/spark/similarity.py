@@ -359,6 +359,13 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
     a map-only stage feeding the partitioned write."""
     cmat = np.stack([c[2] for c in centroids])
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    # preserve the input's actual id/vector types — hardcoding
+    # "long, array<float>" would silently round array<double> vectors
+    # (breaking the exact re-rank) and reject non-long ids
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([in_fields[id_col], in_fields[vec_col],
+                             StructField("list_id", IntegerType())])
 
     def assign(iterator):
         for pdf in iterator:
@@ -375,8 +382,7 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
             })
 
     return df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} array<float>, "
-                       "list_id int")
+        assign, schema=out_schema)
 
 
 class IvfFlatIndex:
@@ -394,6 +400,8 @@ class IvfFlatIndex:
     shows PartitionFilters on list_id — no full scan, no shuffle except
     the top-k reduction."""
 
+    FORMAT_VERSION = 1  # bump on ANY lists/ or config.json layout change
+
     def __init__(self, spark, path: str):
         import json
         import os
@@ -401,6 +409,12 @@ class IvfFlatIndex:
         self.path = path
         with open(os.path.join(path, "config.json")) as f:
             self.cfg = json.loads(f.read())
+        got = self.cfg.get("format_version")
+        if got != IvfFlatIndex.FORMAT_VERSION:
+            raise ValueError(
+                f"IVF index at {path} has format_version={got}, this "
+                f"build reads {IvfFlatIndex.FORMAT_VERSION} — rebuild "
+                "the index (stale artifacts are never reinterpreted)")
         self._cmat = np.asarray(self.cfg["centroids"], dtype=np.float64)
 
     @staticmethod
@@ -418,7 +432,8 @@ class IvfFlatIndex:
         (assigned.repartition("list_id")
          .write.mode("overwrite").partitionBy("list_id")
          .parquet(os.path.join(path, "lists")))
-        cfg = {"nlist": len(centroids), "id_col": id_col,
+        cfg = {"format_version": IvfFlatIndex.FORMAT_VERSION,
+               "nlist": len(centroids), "id_col": id_col,
                "vec_col": vec_col, "salt": salt,
                "centroids": [c[2].tolist() for c in centroids]}
         with open(os.path.join(path, "config.json"), "w") as f:

@@ -116,6 +116,17 @@ def lang_quality(df: DataFrame, id_col: str = "doc_id",
 
 # ---------------- n-gram Jaccard (exact near-dup) ----------------
 
+def grams_col(w, n: int):
+    """Array column of word ``n``-grams over a words array column — the
+    single shared construction for shingles_df / repetition_stats (one
+    place to fix tokenization quirks). NOTE: the inner lambda must stay
+    single-arg — PySpark treats a two-arg transform lambda as
+    (element, index)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+
+
 def shingles_df(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document — built-ins only:
@@ -123,9 +134,7 @@ def shingles_df(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     from mdbloom.spark.session import rebalance_input
     df = rebalance_input(df)
     w = words_col(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    sh = grams_col(w, n)
     return (df.where(F.size(w) >= n)
             .select(F.col(id_col), F.explode(F.array_distinct(sh))
                     .alias("shingle")))
@@ -669,14 +678,16 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
 
 
 def redact(df: DataFrame, pattern: str, replacement: str = "<REDACTED>",
-           id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
     """PII-style scrubbing: replace every regex match and report the
-    match count per document — (id, n_redactions, text) with the text
-    rewritten in place. Pure JVM regexp_replace/regexp_count (whole-
-    stage codegen, no shuffle, trivially map-only at any scale). Use a
-    regex dialect common to engines (character classes, quantifiers,
-    alternation — no lookbehind) if results must be SQL-reproducible."""
+    match count per row — all input columns pass through, with the text
+    rewritten in place plus ``n_redactions``. Pure JVM
+    regexp_replace/regexp_count (whole-stage codegen, no shuffle,
+    trivially map-only at any scale). For SQL-reproducible results keep
+    the pattern to the Java-regex ∩ RE2 subset — character classes,
+    quantifiers, alternation; no lookaround, and avoid bare ``\\s``/
+    ``\\w`` (Java's ``\\s`` includes ``\\x0B``, RE2's does not — spell
+    the class out, as :data:`BPE_ISH_PATTERN` does)."""
     return df.withColumn(
         "n_redactions",
         F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")) \
@@ -698,27 +709,33 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
 
     Scale shape — a DISTRIBUTED PREFIX SUM, not a global window (a
     ``Window.orderBy`` with no partition key moves the whole corpus to
-    ONE partition in Spark): range-repartition on the hash order, a
-    per-partition running sum (bounded state), then each partition's
-    global offset comes from one metadata-sized aggregate (one row per
-    partition, cumulated on the driver and broadcast back as a join).
-    Result is independent of the (sampled) range boundaries because the
-    (hash, key) order is total. Two passes over the tokens column, both
-    shuffle-free after the single range exchange.
+    ONE partition in Spark): range-repartition on the hash order, sort
+    within partitions, then each partition's global offset comes from
+    one metadata-sized aggregate (one row per partition, cumulated on
+    the driver) and the per-row running sum is an Arrow-batched int64
+    cumsum carrying bounded state across batches. Result is independent
+    of the (sampled) range boundaries because the (hash, key) order is
+    total. ONE exchange total — a per-``__pid`` window would add a
+    second full hashpartitioning exchange, and int64 NumPy keeps the
+    bin arithmetic exact where a double-division SQL expression loses
+    integers past 2^53. Rows whose key hashes NULL (any NULL key
+    column) are EXCLUDED, matching :func:`sample_hash`'s documented
+    contract and the SQL mirror's ``||`` NULL propagation.
 
     The closing-bin first-fit variant (a bin closes when the next doc
     doesn't fit) is inherently sequential; production packers use
     concat-and-chunk for exactly that reason — it's the one that
     parallelizes."""
-    from pyspark.sql.window import Window
     h = sample_hash(key_cols, salt)
     order = [F.col("__h")] + [F.col(c) for c in key_cols]
     ranged = (df.withColumn("__h", h)
+              .where(F.col("__h").isNotNull())
               .repartitionByRange(*order)
+              .sortWithinPartitions(*order)
               .withColumn("__pid", F.spark_partition_id()))
     from pyspark import StorageLevel
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    # one row per partition -> driver cumsum -> broadcast join back
+    # one row per partition -> driver cumsum (metadata scale)
     totals = (ranged.groupBy("__pid")
               .agg(F.sum(token_col).alias("__t"))
               .collect())
@@ -726,22 +743,29 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
     for r in sorted(totals, key=lambda r: r["__pid"]):
         offsets[r["__pid"]] = acc
         acc += int(r["__t"] or 0)
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()],
-        "__pid int, __off long")
-    w = (Window.partitionBy("__pid").orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    out = (ranged
-           .withColumn("__within",
-                       F.coalesce(F.sum(token_col).over(w), F.lit(0)))
-           .join(F.broadcast(off_df), "__pid")
-           .withColumn("__before", F.col("__off") + F.col("__within"))
-           .withColumn("bin_id",
-                       (F.col("__before") / budget).cast("long"))
-           .withColumn("bin_offset",
-                       (F.col("__before") % budget).cast("long")))
-    return out.drop("__h", "__pid", "__within", "__off", "__before")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("bin_id", LongType()),
+                               StructField("bin_offset", LongType())])
+
+    def assign(iterator):
+        running = None
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = offsets[int(pdf["__pid"].iloc[0])]
+            toks = pdf[token_col].to_numpy(dtype=np.int64)
+            before = running + np.concatenate(
+                ([0], np.cumsum(toks)[:-1]))
+            running += int(toks.sum())
+            out = pdf.drop(columns=["__h", "__pid"])
+            out["bin_id"] = before // budget
+            out["bin_offset"] = before % budget
+            yield out
+
+    return ranged.mapInPandas(assign, schema=out_schema)
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 8,
@@ -792,16 +816,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             F.size(w).alias("n_tokens"),
             (F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w))
             .alias("dup_word_frac")]
-    def grams(n):
-        # NOTE: the inner lambda must stay single-arg — PySpark treats a
-        # two-arg transform lambda as (element, index), so binding n via
-        # a default parameter would silently receive the array index
-        return F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-
     for n in range(2, max_ngram + 1):
-        g = grams(n)
+        g = grams_col(w, n)
         cols.append(
             F.when(F.size(w) >= n,
                    F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g))
@@ -817,10 +833,11 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
 
 
 # GPT-2-style pretokenizer, restricted to the Java-regex ∩ RE2 common
-# subset (NO lookahead — the original's \s+(?!\S) tail is unsupported by
-# RE2, so trailing whitespace runs simply tokenize as whitespace-joined
-# groups the same way in both engines)
-BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# subset: NO lookahead (the original's \s+(?!\S) tail is unsupported by
+# RE2) and NO bare \s (Java's \s includes \x0B, RE2's does not — the
+# whitespace class is spelled out so both engines match byte-for-byte)
+BPE_ISH_PATTERN = (r" ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+")
 
 
 def bpe_tokens(df: DataFrame, id_col: str = "doc_id",

@@ -186,9 +186,12 @@ def conversation_windows(df: DataFrame, k: int = 4,
          .rowsBetween(-(k - 1), Window.currentRow))
     ctx_arr = F.collect_list(text_col).over(w)
     ctx = F.array_join(ctx_arr, "\x01")
+    # frame ROW count (count(lit(1)) ≡ SQL COUNT(*) OVER w) — NOT
+    # size(ctx_arr): collect_list drops NULL texts, COUNT(*) does not,
+    # and the oracle counts rows
     return df.select(
         F.col(conv_col), F.col(turn_col),
-        F.size(ctx_arr).cast("long").alias("n_ctx_turns"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_ctx_turns"),
         F.length(ctx).cast("long").alias("ctx_chars"),
         F.md5(ctx).alias("ctx_fp"))
 
@@ -220,6 +223,9 @@ def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
                     F.length("__pt").cast("long").alias("prompt_chars"),
                     F.length(text_col).cast("long")
                     .alias("response_chars"),
-                    F.md5(F.concat_ws("\x01", F.col("__pt"),
-                                      F.col(text_col)))
+                    # F.concat propagates NULL like SQL || — concat_ws
+                    # would silently skip a NULL prompt/response and
+                    # diverge from the oracle
+                    F.md5(F.concat(F.col("__pt"), F.lit("\x01"),
+                                   F.col(text_col)))
                     .alias("pair_fp")))
