@@ -573,3 +573,35 @@ def test_bpe_tokens_planted(spark):
     assert got["n_ws_tokens"] == 4
     assert got["bpe_fp"] == hashlib.md5(
         "\x01".join(toks).encode()).hexdigest()
+
+
+def test_ivf_preserves_double_vectors(spark, tmp_path):
+    """Schema derivation: an array<double> corpus must come back as
+    array<double> from lists/ (no silent float32 rounding of the
+    vectors the exact re-rank runs on)."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": list(rng.normal(size=(40, 8))),
+    })
+    df = spark.createDataFrame(pdf)
+    assert dict(df.dtypes)["embedding"] == "array<double>"
+    idx = S.IvfFlatIndex.build(df, str(tmp_path / "ivf_d"), nlist=4)
+    lists = spark.read.parquet(f"{idx.path}/lists")
+    assert dict(lists.dtypes)["embedding"] == "array<double>"
+    probe = np.asarray(pdf["embedding"].iloc[3], np.float64)
+    got = idx.topk(probe, k=5, nprobe=4).toPandas()["vec_id"].tolist()
+    want = S.cosine_topk(df, probe, k=5).toPandas()["vec_id"].tolist()
+    assert got == want
+
+
+def test_ivf_rejects_unversioned_config(spark, emb, tmp_path):
+    import json
+    import os
+    path = str(tmp_path / "ivf_stale")
+    S.IvfFlatIndex.build(emb, path, nlist=4)
+    cfg = json.load(open(os.path.join(path, "config.json")))
+    cfg.pop("format_version")
+    json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        S.IvfFlatIndex(spark, path)
