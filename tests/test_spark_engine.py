@@ -450,7 +450,7 @@ def test_redact_counts_and_rewrites(spark, transcripts_df,
 
     from mdbloom.spark.textops import redact
     pat = r"w049[0-9]{2}"
-    got = redact(transcripts_df, pat, "<X>", id_col="conv_id") \
+    got = redact(transcripts_df, pat, "<X>") \
         .toPandas().sort_values(["conv_id", "turn_idx"]) \
         .reset_index(drop=True)
     p = transcripts_pdf.sort_values(["conv_id", "turn_idx"]) \
