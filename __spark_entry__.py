@@ -1590,6 +1590,47 @@ def q65_bpe_tokens(spark, sf_dir):
     return bpe_tokens(docs).orderBy("doc_id")
 
 
+_CONV_PQ = os.path.join(_CACHE_ROOT, "conv_table_4000_s42.parquet")
+
+
+def _conv_table(spark: SparkSession) -> DataFrame:
+    """Conversation-granularity view of the flagship transcripts: one row
+    per conv_id, texts joined in turn_idx order (deterministic content,
+    so the index build's resume fingerprints are stable and the DuckDB
+    oracle reads the SAME stored table)."""
+    if not os.path.exists(os.path.join(_CONV_PQ, "_SUCCESS")):
+        df = _transcripts_table(spark)
+        ordered = F.array_sort(
+            F.collect_list(F.struct("turn_idx", "text")))
+        (df.groupBy("conv_id")
+         .agg(F.array_join(F.transform(ordered, lambda s: s["text"]),
+                           " ").alias("text"))
+         .write.mode("overwrite").parquet(_CONV_PQ))
+    return spark.read.parquet(_CONV_PQ)
+
+
+def q66_conv_membership(spark, sf_dir):
+    """CONVERSATION-granularity membership — the Bloofi 'coarser filter
+    over merged children' idea (`InnerNode.java:37-52`'s OR-merge) as a
+    user-facing operator: per-conversation filters indexed over
+    turn-merged texts answer cross-turn conjunctions a per-turn index
+    cannot express (token A in one turn AND token B in another).
+    Verified search, so the oracle is exact: conversations where both
+    tokens appear in ANY turn."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.query import BloomIndexReader
+    conv = _conv_table(spark)
+    cfg = IndexConfig(n_per_record=768, probability=1e-3, n_shards=4,
+                      chunk_slots=4096, text_column="text",
+                      id_columns=("conv_id",))
+    ckey = hashlib.md5(cfg.to_json().encode()).hexdigest()[:8]
+    path = os.path.join(_CACHE_ROOT, f"conv_idx_{ckey}")
+    BloomIndexWriter(spark, cfg).build(conv, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    return (r.search_verified(["tok=w00002", "tok=w00042"], conv)
+            .select("conv_id").orderBy("conv_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1657,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_decontaminate": q63_decontaminate,
         "q64_repetition_stats": q64_repetition_stats,
         "q65_bpe_tokens": q65_bpe_tokens,
+        "q66_conv_membership": q66_conv_membership,
     }
 
 
@@ -2681,6 +2723,22 @@ def oracle_sql() -> dict[str, str]:
                         chr(1))) AS bpe_fp
             FROM documents
             ORDER BY doc_id
+        """,
+        # q66: conversation-granularity membership — exact cross-turn
+        # conjunction over the SAME stored transcripts.
+        "q66_conv_membership": rf"""
+            SELECT conv_id FROM (
+                SELECT conv_id,
+                       bool_or(list_contains(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           'w00002')) AS has_a,
+                       bool_or(list_contains(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           'w00042')) AS has_b
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+                GROUP BY conv_id)
+            WHERE has_a AND has_b
+            ORDER BY conv_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

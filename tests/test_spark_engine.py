@@ -482,3 +482,21 @@ def test_sft_pairs_match_pandas(spark, transcripts_df, transcripts_pdf):
         assert row["response_chars"] == len(r["text"])
         assert row["pair_fp"] == hashlib.md5(
             (pt + "\x01" + r["text"]).encode()).hexdigest()
+
+
+def test_conv_level_conjunction_strictly_wider_than_turn_level(
+        transcripts_pdf):
+    """The premise of conversation-granularity membership (q66): there
+    exist conversations containing token A and token B only in DIFFERENT
+    turns — a per-turn index cannot express that conjunction."""
+    p = transcripts_pdf.copy()
+    p["toks"] = p["text"].str.split().map(set)
+    a, b = "w00002", "w00042"
+    per_turn = set(p[(p["toks"].map(lambda t: a in t))
+                     & (p["toks"].map(lambda t: b in t))]["conv_id"])
+    g = p.groupby("conv_id")["toks"].apply(
+        lambda s: set().union(*s))
+    per_conv = set(g[g.map(lambda t: a in t and b in t)].index)
+    assert per_turn <= per_conv
+    assert len(per_conv) > len(per_turn), \
+        "corpus should contain cross-turn-only co-occurrences"
