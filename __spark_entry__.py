@@ -1631,6 +1631,16 @@ def q66_conv_membership(spark, sf_dir):
             .select("conv_id").orderBy("conv_id"))
 
 
+def q67_tool_transitions(spark, sf_dir):
+    """Tool-transition mining (`transcripts.tool_transitions`): corpus-
+    wide (prev_tool -> tool) bigram counts over consecutive tool-bearing
+    turns per conversation — one window lag + one hash-aggregate; the
+    oracle is the same lag + GROUP BY in ANSI SQL."""
+    from mdbloom.spark.transcripts import tool_transitions
+    return (tool_transitions(_transcripts_table(spark))
+            .orderBy("prev_tool", "tool"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1699,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_repetition_stats": q64_repetition_stats,
         "q65_bpe_tokens": q65_bpe_tokens,
         "q66_conv_membership": q66_conv_membership,
+        "q67_tool_transitions": q67_tool_transitions,
     }
 
 
@@ -2739,6 +2750,21 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY conv_id)
             WHERE has_a AND has_b
             ORDER BY conv_id
+        """,
+        # q67: tool transitions — same lag over tool-bearing turns.
+        "q67_tool_transitions": rf"""
+            WITH tooled AS (
+                SELECT conv_id, turn_idx, tool,
+                       lag(tool) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev_tool
+                FROM read_parquet('{_TRANSCRIPTS_PQ}/*.parquet')
+                WHERE tool IS NOT NULL)
+            SELECT prev_tool, tool,
+                   COUNT(*) AS n_transitions,
+                   COUNT(DISTINCT conv_id) AS n_convs
+            FROM tooled WHERE prev_tool IS NOT NULL
+            GROUP BY prev_tool, tool
+            ORDER BY prev_tool, tool
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;

@@ -229,3 +229,28 @@ def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
                     F.md5(F.concat(F.col("__pt"), F.lit("\x01"),
                                    F.col(text_col)))
                     .alias("pair_fp")))
+
+
+def tool_transitions(df: DataFrame, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", role_col: str = "role",
+                     tool_col: str = "tool") -> DataFrame:
+    """Tool-usage transition mining over agent transcripts: for every
+    pair of CONSECUTIVE tool-bearing turns in a conversation (turn
+    order), count the (prev_tool, tool) transition across the corpus —
+    the bigram statistics an agent-behavior analysis starts from
+    (which tool follows which, loop detection, planner drift). One
+    window lag per conv partition + one hash-aggregate with map-side
+    combine; NULL-tool turns (user/system) are dropped BEFORE the lag,
+    so transitions skip over them (assistant Bash -> user -> assistant
+    Read counts as Bash -> Read)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    tooled = df.where(F.col(tool_col).isNotNull())
+    return (tooled
+            .select(F.col(conv_col),
+                    F.lag(tool_col).over(w).alias("prev_tool"),
+                    F.col(tool_col))
+            .where(F.col("prev_tool").isNotNull())
+            .groupBy("prev_tool", tool_col)
+            .agg(F.count("*").alias("n_transitions"),
+                 F.countDistinct(conv_col).alias("n_convs")))

@@ -500,3 +500,22 @@ def test_conv_level_conjunction_strictly_wider_than_turn_level(
     assert per_turn <= per_conv
     assert len(per_conv) > len(per_turn), \
         "corpus should contain cross-turn-only co-occurrences"
+
+
+def test_tool_transitions_match_pandas(spark, transcripts_df,
+                                       transcripts_pdf):
+    """Bigram counts vs a driver-side shift over tool-bearing turns;
+    NULL-tool turns are skipped over, not transition-breaking."""
+    from mdbloom.spark.transcripts import tool_transitions
+    got = tool_transitions(transcripts_df).toPandas() \
+        .set_index(["prev_tool", "tool"]).sort_index()
+    p = transcripts_pdf.sort_values(["conv_id", "turn_idx"])
+    t = p[p["tool"].notna()].copy()
+    t["prev_tool"] = t.groupby("conv_id")["tool"].shift(1)
+    t = t[t["prev_tool"].notna()]
+    want_n = t.groupby(["prev_tool", "tool"]).size().sort_index()
+    want_c = t.groupby(["prev_tool", "tool"])["conv_id"] \
+        .nunique().sort_index()
+    assert (got["n_transitions"] == want_n).all()
+    assert (got["n_convs"] == want_c).all()
+    assert len(got) > 0
