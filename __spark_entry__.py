@@ -1717,6 +1717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = r"regexp_split_to_array(trim(text), '\s+')"
 
+# the ONE source of the BPE-ish pretokenizer pattern (textops), so the
+# Spark query and the q65 oracle cannot drift
+from mdbloom.spark.textops import BPE_ISH_PATTERN as _BPE_PAT  # noqa: E402
+
 
 def _jaccard_oracle_sql(max_shingle_df: int | None,
                         threshold: float = 0.5) -> str:
@@ -2722,15 +2726,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q65: BPE-ish pretokenization — same RE2-safe pattern, same
         # token stream (md5-pinned).
-        "q65_bpe_tokens": r"""
+        "q65_bpe_tokens": rf"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
-                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+'))
+                        '{_BPE_PAT}'))
                         AS BIGINT) AS n_bpe_tokens,
                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
                         AS BIGINT) AS n_ws_tokens,
                    md5(array_to_string(regexp_extract_all(text,
-                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+'),
+                        '{_BPE_PAT}'),
                         chr(1))) AS bpe_fp
             FROM documents
             ORDER BY doc_id

@@ -39,7 +39,11 @@ STOPWORDS = {
 
 def words_col(text_col: str = "text"):
     """Whitespace tokenization (matches the reference's test tokenization,
-    `ContainerImplTest.java:77-85`)."""
+    `ContainerImplTest.java:77-85`). Dialect note: Java's ``\s``
+    includes vertical tab ``\x0B``, RE2's (DuckDB) does not — oracle
+    parity for every words_col-based query holds for corpora without
+    ``\x0B``; spell the class out (as :data:`BPE_ISH_PATTERN` does) if
+    that byte can occur."""
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
@@ -756,7 +760,11 @@ def pack_sequences(df: DataFrame, budget: int, key_cols,
                 continue
             if running is None:
                 running = offsets[int(pdf["__pid"].iloc[0])]
-            toks = pdf[token_col].to_numpy(dtype=np.int64)
+            # NULL token counts surface as NaN after Arrow->pandas;
+            # treat them as 0 — the same convention as the totals pass
+            # (F.sum skips NULLs), so the two passes always agree
+            raw = pdf[token_col].to_numpy()
+            toks = np.where(pd.isna(raw), 0, raw).astype(np.int64)
             before = running + np.concatenate(
                 ([0], np.cumsum(toks)[:-1]))
             running += int(toks.sum())
