@@ -267,6 +267,44 @@ def main():
 
     timed("q16_minhash_near_dups", q16_bench)
 
+    # ---- round-4 curation operators at sf scale (ADDITIVE keys — the
+    # pre-r4 keys above are unchanged for cross-round comparability)
+    def ivf_bench():
+        from mdbloom.spark.similarity import IvfFlatIndex
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        path = f"/tmp/mdbloom_bench_ivf_{os.getpid()}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = IvfFlatIndex.build(emb, path, nlist=16)
+        probe = np.asarray(
+            emb.where(F.col("vec_id") == 0).head()["embedding"],
+            np.float64)
+        n = idx.topk(probe, k=10, nprobe=2).count()
+        shutil.rmtree(path, ignore_errors=True)
+        return n
+
+    timed("ivf_build_topk", ivf_bench)
+
+    def pack_bench():
+        from mdbloom.spark.textops import pack_sequences, words_col
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .withColumn("n_tokens",
+                        F.size(words_col("text")).cast("long"))
+        return pack_sequences(docs, 2048, ["doc_id"]).count()
+
+    timed("pack_sequences", pack_bench)
+
+    def rollup_bench():
+        from mdbloom.spark.transcripts import conversation_rollup
+        return conversation_rollup(tdf).count()
+
+    timed("conversation_rollup", rollup_bench)
+
+    def windows_bench():
+        from mdbloom.spark.transcripts import conversation_windows
+        return conversation_windows(tdf, k=4).count()
+
+    timed("context_windows", windows_bench)
+
     shutil.rmtree(idx_path, ignore_errors=True)
     shutil.rmtree(src_path, ignore_errors=True)
 
