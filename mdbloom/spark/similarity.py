@@ -440,6 +440,23 @@ class IvfFlatIndex:
             f.write(json.dumps(cfg))
         return IvfFlatIndex(df.sparkSession, path)
 
+    def append(self, df: DataFrame) -> "IvfFlatIndex":
+        """Incremental ingest: assign NEW vectors against the index's
+        FROZEN centroids and append to lists/ — no rebuild, no touch of
+        existing rows, and every existing probe plan stays valid
+        (centroids are the query contract; an index built over A then
+        appended with B answers identically to one built over A∪B with
+        the same centroids — tested). The production shape for a corpus
+        that grows: rebuild only to retrain the codebook."""
+        import os
+        cents = [(i, None, v) for i, v in enumerate(self._cmat)]
+        assigned = ivf_assign(df, cents, self.cfg["id_col"],
+                              self.cfg["vec_col"])
+        (assigned.repartition("list_id")
+         .write.mode("append").partitionBy("list_id")
+         .parquet(os.path.join(self.path, "lists")))
+        return self
+
     def probe_lists(self, probe: np.ndarray, nprobe: int) -> list[int]:
         """Driver-side planning: the nprobe centroid ranks closest to the
         probe by cosine (ties to the lower rank — argsort is stable)."""

@@ -605,3 +605,28 @@ def test_ivf_rejects_unversioned_config(spark, emb, tmp_path):
     json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
     with pytest.raises(ValueError, match="format_version"):
         S.IvfFlatIndex(spark, path)
+
+
+def test_ivf_append_equals_monolithic_build(emb, emb_pdf, tmp_path):
+    """build(A) + append(B) answers identically to build(A∪B with the
+    same frozen centroids) — incremental ingest changes nothing for
+    probes."""
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250)
+    p_inc = str(tmp_path / "ivf_inc")
+    idx_inc = S.IvfFlatIndex.build(a, p_inc, nlist=8)
+    idx_inc.append(b)
+    cents = [(i, None, np.asarray(v, np.float64))
+             for i, v in enumerate(idx_inc.cfg["centroids"])]
+    p_mono = str(tmp_path / "ivf_mono")
+    idx_mono = S.IvfFlatIndex.build(emb, p_mono, centroids=cents)
+    mat = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    for probe in (mat[3], mat[400]):
+        got = idx_inc.topk(probe, k=10, nprobe=3) \
+            .toPandas()["vec_id"].tolist()
+        want = idx_mono.topk(probe, k=10, nprobe=3) \
+            .toPandas()["vec_id"].tolist()
+        assert got == want
+    sp = emb.sparkSession
+    n = sp.read.parquet(f"{p_inc}/lists").count()
+    assert n == emb.count()
