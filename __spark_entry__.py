@@ -1641,6 +1641,54 @@ def q67_tool_transitions(spark, sf_dir):
             .orderBy("prev_tool", "tool"))
 
 
+def q68_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval — the RAG-shaped pipeline composed from the
+    engine's own pieces: the Bloom index prunes to documents containing
+    BOTH query tokens (verified, exact), then the probe embedding ranks
+    the survivors by exact cosine and returns the top-5 ids. At scale
+    this is the two-stage shape retrieval systems actually run —
+    sub-linear candidate generation feeding a small exact re-rank —
+    with both stages already oracle-checked separately (q13, q12)."""
+    import numpy as np
+    from mdbloom.spark.similarity import cosine_topk
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    cands = (r.search_verified(["tok=spark", "tok=window"], docs)
+             .select(F.col("doc_id").alias("vec_id")))
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = np.asarray(
+        emb.where(F.col("vec_id") == 0).head()["embedding"], np.float64)
+    vecs = emb.join(cands, "vec_id", "left_semi")
+    return (cosine_topk(vecs, probe, k=5)
+            .select("vec_id").orderBy("vec_id"))
+
+
+def q69_ingest_gate(spark, sf_dir):
+    """The COMPOSITE pre-training ingest gate — the three hygiene passes
+    a batch goes through before touching the corpus, composed in one
+    plan: (1) cross-run novelty vs the EXISTING index (`novel_rows` —
+    already-indexed content drops out), (2) Gopher quality
+    (dup_word_frac <= 0.55), (3) within-batch exact dedup (canonical =
+    min id per normalized-text fingerprint). Probe batch = 40 indexed
+    docs (all must drop at step 1) + their token-mutated copies (pass
+    1, then face 2 and 3). Each stage is oracle-checked alone
+    (q34/q64/q07); this query pins their COMPOSITION."""
+    from mdbloom.spark.textops import dedup_exact, repetition_stats
+    r = _doc_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 40)
+    mutated = (base.withColumn("text", F.concat(F.col("text"),
+                                                F.lit(" zznovel")))
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    probe = base.unionByName(mutated)
+    novel = r.novel_rows(probe)
+    good = (repetition_stats(novel)
+            .where(F.col("dup_word_frac") <= 0.55).select("doc_id"))
+    kept = novel.join(good, "doc_id", "left_semi")
+    return (dedup_exact(kept).select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1710,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_bpe_tokens": q65_bpe_tokens,
         "q66_conv_membership": q66_conv_membership,
         "q67_tool_transitions": q67_tool_transitions,
+        "q68_hybrid_search": q68_hybrid_search,
+        "q69_ingest_gate": q69_ingest_gate,
     }
 
 
@@ -2769,6 +2819,65 @@ def oracle_sql() -> dict[str, str]:
             FROM tooled WHERE prev_tool IS NOT NULL
             GROUP BY prev_tool, tool
             ORDER BY prev_tool, tool
+        """,
+        # q68: hybrid retrieval — exact containment candidates, exact
+        # cosine re-rank, ids only (q12's float-order discipline).
+        "q68_hybrid_search": rf"""
+            WITH cand AS (
+                SELECT doc_id FROM documents
+                WHERE list_contains({_WORDS}, 'spark')
+                  AND list_contains({_WORDS}, 'window')),
+            probe AS (SELECT embedding AS pv FROM embeddings
+                      WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding, pv) AS cosine
+                FROM embeddings e JOIN cand c ON e.vec_id = c.doc_id,
+                     probe)
+            SELECT vec_id FROM (
+                SELECT vec_id FROM scored
+                ORDER BY cosine DESC, vec_id LIMIT 5)
+            ORDER BY vec_id
+        """,
+        # q69: the composite ingest gate — novelty (token-set
+        # non-membership incl. tag dims, q34/q15 semantics), Gopher
+        # quality, canonical-per-fingerprint — composed in one SQL.
+        "q69_ingest_gate": rf"""
+            WITH base AS (
+                SELECT doc_id, lang, source, text FROM documents
+                WHERE doc_id < 40),
+            probe AS (
+                SELECT doc_id, lang, source, text FROM base
+                UNION ALL
+                SELECT doc_id + 100000, lang, source,
+                       text || ' zznovel' FROM base),
+            corpus AS (
+                SELECT lang, source,
+                       list_sort(list_distinct({_WORDS})) AS ws
+                FROM documents),
+            psets AS (
+                SELECT doc_id, lang, source, text,
+                       list_sort(list_distinct({_WORDS})) AS ws
+                FROM probe),
+            novel AS (
+                SELECT p.doc_id, p.lang, p.text FROM psets p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM corpus c
+                    WHERE c.lang = p.lang AND c.source = p.source
+                      AND c.ws = p.ws)),
+            good AS (
+                SELECT doc_id, lang, text FROM novel
+                WHERE 1.0 - CAST(len(list_distinct({_WORDS}))
+                                 AS DOUBLE) / len({_WORDS}) <= 0.55)
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(regexp_replace(trim(text),
+                                            '\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS rn
+                FROM good)
+            WHERE rn = 1
+            ORDER BY doc_id
         """,
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;
