@@ -115,7 +115,17 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> "BloomIndexReader":
     from mdbloom.spark.build import BloomIndexWriter, IndexConfig
     from mdbloom.spark.query import BloomIndexReader
 
-    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=8,
+    # n_per_record is sized ABOVE the corpus's real per-record dimension
+    # count (sf* documents max 31 distinct words + 2 tag dims = 33): a
+    # Shape saturated past its design point would let a mutated doc's
+    # extra token be fully covered by its base doc's set bits, making the
+    # md5(filter) content key collide across DIFFERENT token sets at well
+    # above the designed FP rate — exactly the adversarial case for the
+    # exact-identity consumers (q15/q30 get, q34/q69 novelty, q40 filter
+    # count), whose oracles define truth as token-set equality (ADVICE
+    # r4). At 48 the coverage-collision probability stays bounded by the
+    # designed 1e-3 per record.
+    cfg = IndexConfig(n_per_record=48, probability=1e-3, n_shards=8,
                       chunk_slots=4096, tag_columns=("lang", "source"),
                       text_column="text", id_columns=("doc_id",),
                       payload_columns=("lang", "source"))
@@ -1463,7 +1473,16 @@ def q57_ivf_topk(spark, sf_dir):
     on list_id) + exact cosine top-10. The oracle re-derives the
     centroid sample (same md5 order), every assignment (argmax cosine,
     ties to the lower centroid rank), the probed lists, and the re-rank
-    — entirely in SQL."""
+    — entirely in SQL.
+
+    Float-order discipline (ADVICE r4, same assumption as q12/q22): the
+    Spark side assigns lists via NumPy float64 normalized-matmul argmax
+    while the oracle uses DuckDB list_cosine_similarity — for
+    near-TIED centroid cosines the two arithmetics could disagree at
+    ulp scale and flip an assignment. The synthetic embeddings have no
+    such ties (verified empirically by the hash match); a production
+    port wanting guaranteed parity would quantize scores before the
+    argmax on both sides."""
     import numpy as np
     from mdbloom.spark.similarity import IvfFlatIndex
     emb = _t(spark, sf_dir, "embeddings")

@@ -108,7 +108,10 @@ def main():
     all_queries = {f"q{i}": toks for i, toks in enumerate(probes + absent)}
 
     def search_batched():
-        out = reader.search_many(all_queries)
+        # via="slab" pins this key to the NumPy slab kernel it has
+        # always measured — search_many's DEFAULT is now auto->slab_sql
+        # for batches (VERDICT r4 item 3), measured by its own keys below
+        out = reader.search_many(all_queries, via="slab")
         return out.groupBy("query").count().count()
 
     timed("bloom_search", search_batched)
@@ -166,7 +169,7 @@ def main():
     # rate, as in r1.
     def fpr():
         return reader.search_many(
-            {f"a{i}": t for i, t in enumerate(absent)}).count()
+            {f"a{i}": t for i, t in enumerate(absent)}, via="slab").count()
 
     fp_rows = timed("bloom_fpr_probe", fpr)
     extra["fpr_observed_rows"] = int(fp_rows)

@@ -131,23 +131,26 @@ class BloomIndexReader:
     semantics bit-identically (contract-tested, including which Bloom
     false positives leak through). **Strategy selection:**
 
-    * :meth:`search_many` (NumPy slab, default) — interactive batches.
-      Arrow-batched bit-sliced kernel, lowest per-query constant at any
-      batch width; bounded by aggregate DRAM bandwidth.
+    * :meth:`search_slab_sql_many` — **default batched strategy**
+      (VERDICT r4 item 3): same O(k·N/64) bit-sliced kernel evaluated as
+      SQL higher-order functions, all-JVM, zero Arrow transfer — the
+      only slab form with a demonstrated ≥0.8 N→4N scaling pair
+      (0.86-0.90, BENCH.md). Pays a per-batch plan-analysis constant
+      (~2s cold for a 20-query literal), amortized across a batch.
+    * :meth:`search_keys_many`/NumPy slab (``via="slab"``) — the
+      kernel-of-record: Arrow-batched bit-sliced NumPy kernel, lowest
+      per-SINGLE-query constant; bounded by aggregate DRAM bandwidth
+      (scaling pairs 0.35-0.56 on this host, hence not the batched
+      default).
     * :meth:`search_linear_many` — tiny populations (≲10⁵ filters) or
       one-off queries: O(rows·k) JVM scan, no slab artifacts touched,
       cheapest plan to analyze.
-    * :meth:`search_slab_sql_many` — JVM-only insurance path for
-      clusters where Python workers/Arrow transfer are the bottleneck
-      (measured 0.86-0.90 N→4N scaling, BENCH.md): same O(k·N/64)
-      kernel evaluated as SQL higher-order functions. Pays a per-batch
-      plan-analysis constant (~2s cold for a 20-query literal), so
-      prefer it for broad/steady batches, not single interactive
-      queries.
 
-    `search_rows` / `search_verified*` take ``via=`` to pick one
-    explicitly; ``via="auto"`` applies the table above mechanically
-    (:meth:`choose_strategy`), and the default stays the NumPy slab."""
+    `search_many` / `search_rows` / `search_verified*` take ``via=`` to
+    pick one explicitly; ``via="auto"`` applies the table above
+    mechanically (:meth:`choose_strategy`): linear for tiny populations,
+    slab-SQL for batches, NumPy slab for large single interactive
+    queries."""
 
     # auto strategy selection (VERDICT r3 item 7): below this many live
     # physical slots the O(rows·k) linear storage scan beats reading the
@@ -523,9 +526,18 @@ class BloomIndexReader:
         stats["levels_descended"] = len(levels)
         return surv
 
+    #: sentinel returned by :meth:`prune_shards_many_distributed` for a
+    #: query whose surviving-shard list exceeded ``max_shards_per_query``:
+    #: "no shard restriction" — scan every shard for this query. The
+    #: same convention as the slab-SQL plan structs' empty ``sh`` array
+    #: (sound superset: extra shards never change results, the slab scan
+    #: re-checks every bit).
+    ALL_SHARDS = "all"
+
     def prune_shards_many_distributed(self, queries: dict,
                                       use_tree: bool | None = None,
-                                      return_stats: bool = False):
+                                      return_stats: bool = False,
+                                      max_shards_per_query: int = 65536):
         """Batched pruning over the manifest parquet: for Q queries at
         once, evaluate the SAME sparse summary + token-gate word tests
         as :meth:`prune_shards`, executor-side.
@@ -561,7 +573,17 @@ class BloomIndexReader:
         :meth:`prune_shards` when every manifest row carries a gate (a
         null-gate row conservatively passes the gate test for that shard
         alone, where the driver path disables the gate globally); with
-        the tree, the sound subset per the contract above."""
+        the tree, the sound subset per the contract above.
+
+        DRIVER-MEMORY BOUND (VERDICT r4 item 4): the survivor set is
+        aggregated executor-side and each query's list is truncated at
+        ``max_shards_per_query`` BEFORE the collect, so the driver
+        materializes at most Q·(cap+1) ints — never the worst-case Q·S
+        (256 queries × 10⁶ shards) cross product. A query whose
+        survivors exceed the cap maps to :data:`ALL_SHARDS` ("scan
+        unpruned" — the sound superset: a query surviving in most
+        shards gains nothing from pruning anyway, and consumers share
+        the empty-``sh`` plan convention for exactly this case)."""
         import pandas as pd
 
         empty_idx = np.array([], dtype=np.int64)
@@ -638,12 +660,23 @@ class BloomIndexReader:
                     out_s.extend(int(s) for s in ks)
                 yield pd.DataFrame({"query_id": out_q, "shard": out_s})
 
-        rows = man.mapInPandas(fn, "query_id string, shard int").collect()
-        out: dict = {qid: [] for qid in queries}
+        cap = int(max_shards_per_query)
+        # ONE aggregate pass, truncated executor-side: collect_set holds
+        # at most a shard-count-bounded set per query inside its task
+        # (narrow ints, partitioned by query hash), and slice() drops
+        # everything past cap+1 BEFORE rows travel to the driver — the
+        # driver round-trip is Q rows × ≤(cap+1) ints, not Q×S pairs.
+        rows = (man.mapInPandas(fn, "query_id string, shard int")
+                .groupBy("query_id")
+                .agg(F.slice(F.sort_array(F.collect_set("shard")),
+                             1, cap + 1).alias("shards"))
+                .collect())
         by_str = {str(qid): qid for qid in queries}
+        result: dict = {qid: [] for qid in queries}
         for r in rows:
-            out[by_str[r.query_id]].append(r.shard)
-        result = {qid: sorted(v) for qid, v in out.items()}
+            qid = by_str[r.query_id]
+            result[qid] = (self.ALL_SHARDS if len(r.shards) > cap
+                           else list(r.shards))
         return (result, stats) if return_stats else result
 
     # ---------------- search ----------------
@@ -749,53 +782,78 @@ class BloomIndexReader:
         # per-shard batched plan: the queries that survived pruning for
         # shard s, as ONE concatenated bit array + reduceat offsets, so
         # the executor evaluates all of them with a single vectorized
-        # kernel call per slab chunk instead of a Python loop over Q
+        # kernel call per slab chunk instead of a Python loop over Q.
+        # UNPRUNED queries (surviving in every shard — broad tokens) are
+        # hoisted into ONE shared "global" plan instead of appearing in
+        # every shard's entry list: the driver/broadcast structure is
+        # O(pruned pairs + global queries), never the Q×S cross product
+        # (VERDICT r4 item 4 — same compression the slab-SQL strategy's
+        # empty-``sh`` plan structs use).
+        n_shards_total = len(self._prune_matrices()[0])
+        global_entries: list[tuple] = []
         shard_entries: dict[int, list] = {}
+        unpruned = False
         for name, (qb, shards) in plans.items():
-            for s in shards:
-                shard_entries.setdefault(s, []).append((name, qb))
-        shard_plans = {}
-        for s, entries in shard_entries.items():
+            if len(shards) == n_shards_total:
+                global_entries.append((name, qb))
+                unpruned = True
+            else:
+                for s in shards:
+                    shard_entries.setdefault(s, []).append((name, qb))
+
+        def _pack(entries):
             offs, concat = [], []
             for _, qb in entries:
                 offs.append(len(concat))
                 concat.extend(qb)
-            shard_plans[s] = ([n for n, _ in entries], concat, offs)
-        slabs = self.slabs().where(F.col("shard").isin(sorted(all_shards)))
+            return ([n for n, _ in entries], concat, offs)
+
+        shard_plans = {s: _pack(e) for s, e in shard_entries.items()}
+        global_plan = _pack(global_entries) if global_entries else None
+        slabs = self.slabs()
+        if not unpruned:
+            slabs = slabs.where(F.col("shard").isin(sorted(all_shards)))
 
         def scan(iterator):
-            cache = {
-                s: (np.asarray(names, dtype=object),
-                    np.asarray(concat, dtype=np.int64),
-                    np.asarray(offs, dtype=np.int64))
-                for s, (names, concat, offs) in shard_plans.items()}
+            def _arr(p):
+                names, concat, offs = p
+                return (np.asarray(names, dtype=object),
+                        np.asarray(concat, dtype=np.int64),
+                        np.asarray(offs, dtype=np.int64))
+            cache = {s: _arr(p) for s, p in shard_plans.items()}
+            gplan = _arr(global_plan) if global_plan else None
             for pdf in iterator:
                 outs = []
                 for _, row in pdf.iterrows():
-                    plan = cache.get(int(row["shard"]))
-                    if plan is None:
+                    chunk_plans = []
+                    p = cache.get(int(row["shard"]))
+                    if p is not None:
+                        chunk_plans.append(p)
+                    if gplan is not None:
+                        chunk_plans.append(gplan)
+                    if not chunk_plans:
                         continue
-                    names_arr, concat, offs = plan
                     slab = np.ascontiguousarray(
                         row["slab"], dtype=np.int64).view(B.U64) \
                         .reshape(m, -1)
-                    q_idx, slots = K.query_slab_batch(
-                        slab, concat, offs, int(row["n_slots"]))
-                    if q_idx.size == 0:
-                        continue
                     blob = row["keys_blob"]
-                    if blob is None:  # mixed-format artifact
-                        raise ValueError(
-                            "slab row lacks keys_blob: index "
-                            "mixes on-disk formats; rebuild "
-                            "(resume forces this via config "
-                            "format_version)")
-                    outs.append(pd.DataFrame({
-                        "query": names_arr[q_idx],
-                        "shard": int(row["shard"]),
-                        "slot": slots + int(row["slot_lo"]),
-                        "key": _hex_keys(blob)[slots],
-                    }))
+                    for names_arr, concat, offs in chunk_plans:
+                        q_idx, slots = K.query_slab_batch(
+                            slab, concat, offs, int(row["n_slots"]))
+                        if q_idx.size == 0:
+                            continue
+                        if blob is None:  # mixed-format artifact
+                            raise ValueError(
+                                "slab row lacks keys_blob: index "
+                                "mixes on-disk formats; rebuild "
+                                "(resume forces this via config "
+                                "format_version)")
+                        outs.append(pd.DataFrame({
+                            "query": names_arr[q_idx],
+                            "shard": int(row["shard"]),
+                            "slot": slots + int(row["slot_lo"]),
+                            "key": _hex_keys(blob)[slots],
+                        }))
                 if outs:
                     yield pd.concat(outs)
 
@@ -805,13 +863,25 @@ class BloomIndexReader:
             scan, schema="query string, shard int, slot long, key string")
         return joined.unionByName(all_part) if match_all else joined
 
-    def search_many(self, queries: dict) -> DataFrame:
+    def search_many(self, queries: dict, via: str = "auto") -> DataFrame:
         """Batched search -> storage rows tagged by query name.
 
-        shuffle_hash hint: both join sides are millions of narrow rows for
-        broad query batches — a hash join skips the two full sorts an SMJ
-        would pay (AQE still downgrades to broadcast when the key side is
-        tiny)."""
+        ``via="auto"`` (default) applies :meth:`choose_strategy` with the
+        batch width — for populations past the linear regime that is the
+        all-JVM **slab-SQL** strategy (VERDICT r4 item 3: the slab form
+        with the ≥0.8 scaling pairs). ``via="slab"`` forces the NumPy
+        kernel-of-record path; ``via="linear"``/``via="slab_sql"`` force
+        the others. All three return identical rows (contract-tested).
+
+        shuffle_hash hint (slab path): both join sides are millions of
+        narrow rows for broad query batches — a hash join skips the two
+        full sorts an SMJ would pay (AQE still downgrades to broadcast
+        when the key side is tiny)."""
+        via = self._resolve_via(via, len(queries))
+        if via == "linear":
+            return self.search_linear_many(queries)
+        if via == "slab_sql":
+            return self.search_slab_sql_many(queries)
         keys = (self.search_keys_many(queries)
                 .select("query", "shard", "key")
                 # a filter stored under several ids can occupy several
@@ -1133,21 +1203,24 @@ class BloomIndexReader:
         live slots ≤ 10⁵        ``linear``    O(rows·k) storage scan beats
                                               touching slab artifacts at
                                               tiny populations / one-offs
-        else, prefer_jvm        ``slab_sql``  same O(k·N/64) kernel, zero
-                                              Arrow transfer — for hosts
-                                              where parallel Python/DRAM
-                                              is the measured ceiling
-        else                    ``slab``      NumPy bit-sliced kernel,
-                                              lowest per-query constant
-                                              at any batch width
+        else, n_queries > 1     ``slab_sql``  the batched DEFAULT (VERDICT
+        or prefer_jvm                         r4 item 3): same O(k·N/64)
+                                              kernel, all-JVM, zero Arrow
+                                              transfer — the slab form
+                                              with the ≥0.8 N→4N scaling
+                                              pairs (0.86-0.90); its
+                                              per-batch plan constant
+                                              amortizes across the batch
+        else                    ``slab``      NumPy bit-sliced kernel
+                                              (kernel-of-record), lowest
+                                              single-query constant
         ======================  ============  =============================
-
-        ``n_queries`` is accepted for future batch-aware refinements
-        (today the regimes above do not cross over on batch width: the
-        slab paths amortize batches strictly better than linear)."""
+        """
         if self.slot_count() <= self.LINEAR_MAX_SLOTS:
             return "linear"
-        return "slab_sql" if self.prefer_jvm else "slab"
+        if n_queries > 1 or self.prefer_jvm:
+            return "slab_sql"
+        return "slab"
 
     def _resolve_via(self, via: str, n_queries: int = 1) -> str:
         if via == "auto":
@@ -1213,9 +1286,7 @@ class BloomIndexReader:
         cfg = self.cfg
         id_cols = list(cfg.id_columns)
         via = self._resolve_via(via, len(queries))
-        hits = (self.search_linear_many(queries) if via == "linear"
-                else self.search_slab_sql_many(queries)
-                if via == "slab_sql" else self.search_many(queries))
+        hits = self.search_many(queries, via=via)
         hits = hits.select("query", *id_cols).dropDuplicates(
             ["query", *id_cols])
         cand = source_df.join(hits, id_cols, "inner")
@@ -1377,6 +1448,17 @@ class BloomIndexReader:
         content key is md5 of the packed filter, so a stored identical
         token set always matches; the Bloom 'maybe' direction never
         reaches the user because equality is on the exact key).
+
+        Sizing caveat (ADVICE r4): key equality is FILTER-BIT equality —
+        the reference's content-addressing contract
+        (`ContainerImplTest.java:138-162`, UUID from filter bytes). Two
+        DIFFERENT token sets collide only when one's extra tokens are
+        fully bit-covered by the other's filter; that probability is the
+        designed FP rate ONLY while the Shape's ``n_per_record`` is >=
+        the records' real distinct-dimension count. Size the Shape for
+        the corpus (as `__spark_entry__._doc_index` does) — a saturated
+        filter drops novel near-supersets at well above the design
+        rate.
 
         One distributed pass: the batch's keys are computed with the
         SAME whole-stage-codegen expressions the build uses

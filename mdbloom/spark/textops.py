@@ -38,7 +38,7 @@ STOPWORDS = {
 
 
 def words_col(text_col: str = "text"):
-    """Whitespace tokenization (matches the reference's test tokenization,
+    r"""Whitespace tokenization (matches the reference's test tokenization,
     `ContainerImplTest.java:77-85`). Dialect note: Java's ``\s``
     includes vertical tab ``\x0B``, RE2's (DuckDB) does not — oracle
     parity for every words_col-based query holds for corpora without

@@ -155,8 +155,14 @@ def conversation_rollup(df: DataFrame, conv_col: str = "conv_id",
     integrity operator a 10^12-turn ingest needs before trusting any
     index built over it."""
     ordered = F.array_sort(F.collect_list(F.struct(turn_col, text_col)))
-    fp = F.md5(F.array_join(
-        F.transform(ordered, lambda s: s[text_col]), "\x01"))
+    # NULL-text parity with the ANSI oracle (ADVICE r4): string_agg skips
+    # NULL texts (as array_join does) but returns NULL — not '' — when
+    # EVERY text is NULL, so md5(NULL) is NULL. Guard on the non-null
+    # count so an all-NULL conversation fingerprints as NULL both sides.
+    fp = F.when(
+        F.count(text_col) > 0,
+        F.md5(F.array_join(
+            F.transform(ordered, lambda s: s[text_col]), "\x01")))
     return (df.groupBy(conv_col)
             .agg(F.count("*").alias("n_turns"),
                  F.countDistinct(role_col).alias("n_roles"),
@@ -189,11 +195,15 @@ def conversation_windows(df: DataFrame, k: int = 4,
     # frame ROW count (count(lit(1)) ≡ SQL COUNT(*) OVER w) — NOT
     # size(ctx_arr): collect_list drops NULL texts, COUNT(*) does not,
     # and the oracle counts rows
+    # NULL-text parity with windowed string_agg (ADVICE r4): an all-NULL
+    # frame yields string_agg = NULL, so LENGTH and md5 are NULL — guard
+    # both derived columns on the frame's non-null text count.
+    has_text = F.count(text_col).over(w) > 0
     return df.select(
         F.col(conv_col), F.col(turn_col),
         F.count(F.lit(1)).over(w).cast("long").alias("n_ctx_turns"),
-        F.length(ctx).cast("long").alias("ctx_chars"),
-        F.md5(ctx).alias("ctx_fp"))
+        F.when(has_text, F.length(ctx)).cast("long").alias("ctx_chars"),
+        F.when(has_text, F.md5(ctx)).alias("ctx_fp"))
 
 
 def sft_pairs(df: DataFrame, conv_col: str = "conv_id",

@@ -369,14 +369,20 @@ def test_prune_shards_many_distributed_matches_driver(spark, reader):
 
 def test_choose_strategy_regimes(spark, reader, monkeypatch):
     """via="auto" applies the documented BENCH.md regimes mechanically
-    (VERDICT r3 item 7): tiny population -> linear storage scan; large
-    population -> NumPy slab; prefer_jvm flips the large regime to the
-    all-JVM slab-SQL path. Explicit via always wins; junk is rejected."""
+    (VERDICT r3 item 7 + r4 item 3): tiny population -> linear storage
+    scan; large population -> NumPy slab for a SINGLE query but the
+    all-JVM slab-SQL path for any BATCH (the slab form with the >=0.8
+    N->4N scaling pairs); prefer_jvm flips the single-query regime to
+    slab-SQL too. Explicit via always wins; junk is rejected."""
     assert reader.slot_count() <= reader.LINEAR_MAX_SLOTS
     assert reader.choose_strategy() == "linear"
     assert reader._resolve_via("auto") == "linear"
+    assert reader.choose_strategy(n_queries=64) == "linear"
     monkeypatch.setattr(reader, "slot_count", lambda: 10_000_000)
     assert reader.choose_strategy() == "slab"
+    # batched default is slab-SQL (VERDICT r4 item 3)
+    assert reader.choose_strategy(n_queries=2) == "slab_sql"
+    assert reader._resolve_via("auto", 256) == "slab_sql"
     monkeypatch.setattr(reader, "prefer_jvm", True)
     assert reader.choose_strategy() == "slab_sql"
     # explicit choice bypasses the selector entirely
@@ -571,3 +577,81 @@ def test_tree_rebuilt_on_incremental_add(spark, tmp_path):
     got = set(r.prune_shards_many_distributed(
         {"s": ["tok=zzsentinel"]}, use_tree=True)["s"])
     assert truth <= got
+
+
+def test_planner_bounded_at_10k_shards_256_queries(spark, tmp_path):
+    """VERDICT r4 item 4: the distributed batch planner must never
+    round-trip the Q×S (query, shard) cross product through the driver.
+    Plan a 256-query batch over a synthesized 10⁴-shard manifest with a
+    small per-query cap: broad queries (surviving everywhere — 2.56M
+    pairs uncapped) come back as the ALL_SHARDS sentinel (sound
+    superset: scan unpruned), selective queries keep their EXACT sorted
+    shard lists, and the driver materializes at most Q·(cap+1) ints.
+
+    The manifest is synthesized directly (config.json + manifest
+    parquet) — the planner only reads those two artifacts, and a real
+    10⁴-shard build would dominate suite wall time for no extra
+    coverage."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from mdbloom import bits as B
+
+    n_shards = 10_000
+    cfg = IndexConfig(n_per_record=8, probability=1e-3,
+                      n_shards=n_shards, chunk_slots=256)
+    path = str(tmp_path / "fake_index")
+    os.makedirs(path)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    reader = BloomIndexReader(spark, path)
+
+    shape = reader.shape
+    rare_shards = [7, 4242, 9999]
+    broad = reader._jvm_hasher.packed_filter(["tok=broad"], shape)
+    rare = reader._jvm_hasher.packed_filter(["tok=rare"], shape)
+    summaries = []
+    for s in range(n_shards):
+        words = broad.copy()
+        if s in rare_shards:
+            words = np.bitwise_or(words, rare)
+        summaries.append(words.tobytes())
+    man = pd.DataFrame({
+        "shard": np.arange(n_shards, dtype=np.int32),
+        "summary": summaries,
+        "token_gate": [None] * n_shards,  # null gate: passes (documented)
+    })
+    (spark.createDataFrame(
+        man, "shard int, summary binary, token_gate binary")
+        .repartition(8)
+        .write.mode("overwrite").parquet(os.path.join(path, "manifest")))
+
+    queries = {f"broad{i}": ["tok=broad"] for i in range(253)}
+    queries["rare_a"] = ["tok=rare"]
+    queries["rare_b"] = ["tok=broad", "tok=rare"]
+    queries["absent"] = ["tok=zzz_definitely_absent"]
+    assert len(queries) == 256
+
+    cap = 64
+    got = reader.prune_shards_many_distributed(
+        queries, use_tree=False, max_shards_per_query=cap)
+    assert set(got) == set(queries)
+    # broad queries truncate to the sentinel, never a Q×S materialization
+    for i in range(253):
+        assert got[f"broad{i}"] is BloomIndexReader.ALL_SHARDS
+    # selective queries keep exact sorted lists, equal to the driver path
+    assert got["rare_a"] == rare_shards
+    assert got["rare_b"] == rare_shards
+    want = reader.prune_shards(reader.query_bits(["tok=rare"]),
+                               ["tok=rare"])
+    assert got["rare_a"] == sorted(want)
+    # an absent token may only leak summary false positives (tiny here)
+    assert len(got["absent"]) < 10
+    # driver-side structure really is bounded: every non-sentinel list
+    # is <= cap entries
+    total = sum(len(v) for v in got.values()
+                if v is not BloomIndexReader.ALL_SHARDS)
+    assert total <= len(queries) * (cap + 1)

@@ -425,6 +425,64 @@ def test_conversation_rollup_order_and_mutation_sensitive(spark):
     assert d.loc[conv, "text_fp"] != a.loc[conv, "text_fp"]
 
 
+def test_rollup_and_windows_null_text_matches_string_agg(spark):
+    """NULL-text parity with the ANSI oracle dialect (ADVICE r4):
+    string_agg SKIPS null elements but returns NULL — not '' — when
+    every element is NULL, so md5/length are NULL too. Exercise an
+    all-NULL conversation, a mixed conversation (leading window frames
+    all-NULL), and a clean one, against a DuckDB recomputation."""
+    import duckdb
+    from mdbloom.spark.transcripts import (conversation_rollup,
+                                           conversation_windows)
+    rows = [
+        ("c_allnull", 0, "user", None, None),
+        ("c_allnull", 1, "assistant", None, "Bash"),
+        ("c_mixed", 0, "user", None, None),
+        ("c_mixed", 1, "assistant", None, None),
+        ("c_mixed", 2, "user", "hello", None),
+        ("c_clean", 0, "user", "a", None),
+        ("c_clean", 1, "assistant", "b", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool"])
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    got = conversation_rollup(df).toPandas() \
+        .set_index("conv_id").sort_index()
+    want = con.sql("""
+        SELECT conv_id,
+               md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS text_fp
+        FROM t GROUP BY conv_id ORDER BY conv_id
+    """).df().set_index("conv_id")
+    assert got["text_fp"].isna().equals(want["text_fp"].isna())
+    both = want["text_fp"].notna()
+    assert (got.loc[both, "text_fp"] == want.loc[both, "text_fp"]).all()
+    assert pd.isna(got.loc["c_allnull", "text_fp"])
+
+    gotw = conversation_windows(df, k=2).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    wantw = con.sql("""
+        SELECT conv_id, turn_idx,
+               COUNT(*) OVER w AS n_ctx_turns,
+               CAST(LENGTH(string_agg(text, chr(1)) OVER w) AS BIGINT)
+                   AS ctx_chars,
+               md5(string_agg(text, chr(1)) OVER w) AS ctx_fp
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        ORDER BY conv_id, turn_idx
+    """).df().set_index(["conv_id", "turn_idx"]).sort_index()
+    for col in ["n_ctx_turns", "ctx_chars", "ctx_fp"]:
+        g, w = gotw[col], wantw[col]
+        assert g.isna().equals(w.isna()), col
+        assert (g[w.notna()] == w[w.notna()]).all(), col
+    # the all-NULL frames really exercise the guard
+    assert pd.isna(gotw.loc[("c_allnull", 1), "ctx_fp"])
+    assert pd.isna(gotw.loc[("c_mixed", 1), "ctx_chars"])
+
+
 def test_conversation_windows_match_pandas(spark, transcripts_df,
                                            transcripts_pdf):
     """Every k=3 context window vs a driver-side rolling join in explicit
