@@ -1708,6 +1708,105 @@ def q69_ingest_gate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness sf
+
+
+def _ivf_trained_cents(sf_dir: str = _ORACLE_SF_DIR, nlist: int = 8,
+                       iters: int = 3) -> "np.ndarray":
+    """The q70 trained codebook, Spark-free: replay the engine's
+    deterministic hash-sample order (``md5('ivf_' || vec_id)``, then
+    vec_id — exactly `similarity.ivf_train_centroids`'s sort) over the
+    parquet file and run the SAME `lloyd_spherical` float64 iterations.
+    Training is a pure function of the ordered sample, so this equals
+    the Spark-side codebook BITWISE (pinned by
+    tests/test_textops_similarity.py) — which is what lets the q70
+    oracle receive the final centroids as SQL literals."""
+    import duckdb as _dd
+    import numpy as np
+
+    from mdbloom.spark.similarity import lloyd_spherical
+    pdf = _dd.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id <> 0").df()
+    ids = pdf["vec_id"].to_numpy()
+    keys = np.array([hashlib.md5(f"ivf_{i}".encode()).hexdigest()
+                     for i in ids])
+    order = np.lexsort((ids, keys))
+    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    return lloyd_spherical(mat, nlist, iters=iters)
+
+
+def q70_ivf_trained_topk(spark, sf_dir):
+    """q57's IVF probe with a TRAINED codebook (VERDICT r4 item 5):
+    `similarity.ivf_train_centroids` — deterministic hash-sample order +
+    spherical Lloyd, no RNG, one matmul per iteration — replaces the
+    sampled bootstrap through the unchanged ``centroids=`` injection
+    point; build/probe/re-rank code is identical to q57. The oracle
+    receives the FINAL trained centroids as DOUBLE[] literals
+    (bit-identical by construction — `_ivf_trained_cents` replays the
+    training Spark-free from the same parquet) and re-derives every
+    list assignment, the nprobe=2 probe set and the exact top-10
+    re-rank in SQL. Float-order discipline: the same near-tie
+    assumption as q57 (see its docstring)."""
+    import numpy as np
+
+    from mdbloom.spark.similarity import IvfFlatIndex, ivf_train_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64)
+    key = hashlib.md5(f"{sf_dir}:ivftrained:8:3".encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"ivf_tr_idx_{key}")
+    try:
+        idx = IvfFlatIndex(spark, path)
+    except (OSError, ValueError, KeyError):
+        shutil.rmtree(path, ignore_errors=True)
+        rest = emb.where(F.col("vec_id") != 0)
+        cents = ivf_train_centroids(rest, 8, iters=3)
+        idx = IvfFlatIndex.build(rest, path, nlist=8, centroids=cents)
+    return (idx.topk(probe, k=10, nprobe=2).select("vec_id")
+            .orderBy("vec_id"))
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """q70 oracle: the trained centroids as literals (computed by the
+    shared Spark-free replay — sf0.01, the driver's correctness scale),
+    then q57's assignment/probe/re-rank SQL verbatim."""
+    cmat = _ivf_trained_cents()
+    rows = ",".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ",".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cmat))
+    return f"""
+        WITH cents AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
+        assign AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding, c.cv) DESC,
+                                c.cid) AS rk
+            FROM embeddings e, cents c WHERE e.vec_id <> 0),
+        probe AS (SELECT embedding AS pv FROM embeddings
+                  WHERE vec_id = 0),
+        plists AS (
+            SELECT cid FROM cents, probe
+            ORDER BY list_cosine_similarity(pv, cv) DESC, cid
+            LIMIT 2),
+        cand AS (
+            SELECT a.vec_id FROM assign a
+            JOIN plists USING (cid) WHERE a.rk = 1),
+        scored AS (
+            SELECT c.vec_id,
+                   list_cosine_similarity(e.embedding, pv) AS cosine
+            FROM cand c JOIN embeddings e USING (vec_id), probe)
+        SELECT vec_id FROM (
+            SELECT vec_id FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT 10)
+        ORDER BY vec_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1779,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_tool_transitions": q67_tool_transitions,
         "q68_hybrid_search": q68_hybrid_search,
         "q69_ingest_gate": q69_ingest_gate,
+        "q70_ivf_trained_topk": q70_ivf_trained_topk,
     }
 
 
@@ -2898,6 +2998,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
             ORDER BY doc_id
         """,
+        # q70: trained-codebook IVF — the centroids arrive as literals
+        # from the Spark-free training replay; assignment/probe/re-rank
+        # SQL is q57's verbatim.
+        "q70_ivf_trained_topk": _ivf_trained_oracle_sql(),
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;
         # right side deduped to unique (user, ts) in both engines).

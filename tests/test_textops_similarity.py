@@ -630,3 +630,52 @@ def test_ivf_append_equals_monolithic_build(emb, emb_pdf, tmp_path):
     sp = emb.sparkSession
     n = sp.read.parquet(f"{p_inc}/lists").count()
     assert n == emb.count()
+
+
+def test_ivf_trained_centroids_deterministic_and_beat_sampled(
+        emb_planted, tmp_path):
+    """VERDICT r4 item 5: Lloyd-trained centroids (seeded, hash-sample
+    order, one matmul per iteration) must be bit-reproducible run-to-run
+    and beat the sampled bootstrap on planted-neighbor recall at the
+    tightest probe budget (nprobe=1)."""
+    sp, pdf = emb_planted
+    t1 = S.ivf_train_centroids(sp, 8, iters=3)
+    t2 = S.ivf_train_centroids(sp, 8, iters=3)
+    assert all((a[2] == b[2]).all() for a, b in zip(t1, t2))
+    # trained codebook is unit-normalized, full rank
+    cmat = np.stack([c[2] for c in t1])
+    assert np.allclose(np.linalg.norm(cmat, axis=1), 1.0)
+
+    idx_s = S.IvfFlatIndex.build(sp, str(tmp_path / "ivf_s"), nlist=8)
+    idx_t = S.IvfFlatIndex.build(sp, str(tmp_path / "ivf_t"), nlist=8,
+                                 centroids=t1)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def recall(idx, nprobe):
+        found = 0
+        for i in range(20):
+            probe = mat[len(pdf) - 20 + i]
+            src_id = int(pdf["vec_id"].iloc[len(pdf) - 20 + i]) - 100_000
+            got = idx.topk(probe, k=3, nprobe=nprobe) \
+                .toPandas()["vec_id"].tolist()
+            found += src_id in got
+        return found
+    r_s, r_t = recall(idx_s, 1), recall(idx_t, 1)
+    assert r_t >= r_s, f"trained {r_t}/20 < sampled {r_s}/20"
+    assert r_t >= 18, f"trained recall {r_t}/20"
+
+
+def test_ivf_train_matches_sparkfree_replay(spark):
+    """The q70 oracle contract: the Spark-side trained codebook
+    (`ivf_train_centroids`) must equal the Spark-free parquet replay
+    (`__spark_entry__._ivf_trained_cents`) BITWISE — training is a pure
+    function of the hash-ordered sample, no engine arithmetic leaks."""
+    import __spark_entry__ as E
+    emb = (spark.read
+           .parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .where(F.col("vec_id") != 0))
+    cents = S.ivf_train_centroids(emb, 8, iters=3)
+    cmat = np.stack([c[2] for c in cents])
+    want = E._ivf_trained_cents()
+    assert cmat.shape == want.shape == (8, 64)
+    assert (cmat == want).all()
