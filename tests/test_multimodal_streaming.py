@@ -38,12 +38,76 @@ def test_extract_features_plumbing(spark):
     assert f1 == f2
 
 
-def test_decode_stub_raises_clearly(spark):
+def test_default_decoder_rejects_junk_clearly(spark):
+    """The default decoder is the REAL codec path now: junk payloads
+    (synthesize_media fabricates bytes, not files) must fail loudly —
+    never fabricate a shape — and video stays honestly unavailable."""
     media = M.synthesize_media(spark, 4)
     with pytest.raises(Exception) as ei:
-        M.extract_features(media).collect()  # no decoder injected
-    assert "NotImplementedError" in str(ei.value) or \
-        "no image codec" in str(ei.value)
+        M.extract_features(media).collect()  # junk bytes, real decoder
+    msg = str(ei.value)
+    assert ("unsupported" in msg or "NotImplementedError" in msg
+            or "no built-in decoder" in msg)
+    with pytest.raises(NotImplementedError, match="video"):
+        M.decode_media(b"anything", "video")
+
+
+def test_real_decoders_parse_headers_exactly():
+    """Pure-function coverage of the built-in codecs: PPM with comment
+    lines, top-down (negative-height) BMP, stereo 16-bit WAV — plus
+    truncation rejection."""
+    import struct
+    ppm = b"P6\n# a comment\n5 3\n255\n" + bytes(5 * 3 * 3)
+    assert M.decode_image(ppm) == {"height": 3, "width": 5,
+                                   "channels": 3, "n_frames": 1}
+    with pytest.raises(ValueError, match="shorter"):
+        M.decode_image(b"P6\n5 3\n255\n" + bytes(10))
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + 120, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 10, -3, 1, 32, 0, 120,
+                         0, 0, 0, 0) + bytes(120))
+    assert M.decode_image(bmp) == {"height": 3, "width": 10,
+                                   "channels": 4, "n_frames": 1}
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    pcm = bytes(44100 * 4)  # exactly 1 second stereo
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    got = M.decode_audio(wav)
+    assert got == {"height": 1, "width": 44100, "channels": 2,
+                   "n_frames": 44100}  # duration = n_frames/width = 1 s
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_audio(b"OggS")
+
+
+def test_real_media_end_to_end_dims(spark):
+    """extract_features over REAL synthesized PPM/BMP/WAV files with the
+    DEFAULT decoder: every height/width/channels/n_frames must equal the
+    synthesis rule (real header parsing, not hash fabrication), and
+    audio duration is recoverable as n_frames / width."""
+    media = M.synthesize_real_media(spark, 96)
+    feats = (M.extract_features(media, feat_dim=8)
+             .toPandas().set_index("media_id").sort_index())
+    assert len(feats) == 96
+    for i in range(96):
+        row = feats.loc[i]
+        if i % 3 == 0:
+            assert row["kind"] == "audio"
+            assert row["channels"] == 1 + i % 2
+            assert row["width"] == 8000 and row["height"] == 1
+            assert row["n_frames"] == 50 + i % 400
+        else:
+            assert row["kind"] == "image"
+            assert row["height"] == 8 + i % 25
+            assert row["width"] == 8 + (i * 7) % 31
+            assert row["channels"] == 3
+            assert row["n_frames"] == 1
+    # determinism of the whole real path
+    again = (M.extract_features(M.synthesize_real_media(spark, 96),
+                                feat_dim=8)
+             .toPandas().set_index("media_id").sort_index())
+    assert (feats["feature"].map(tuple) == again["feature"].map(tuple)).all()
 
 
 # ---------------- streaming ----------------
