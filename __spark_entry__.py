@@ -1807,6 +1807,60 @@ def _ivf_trained_oracle_sql() -> str:
     """
 
 
+_KV_SERVER: list = []
+
+
+def _socket_kv_port() -> int:
+    """Spawn (once per driver process) the OUT-OF-PROCESS socket KV
+    server q72's index stores its values in (`kvserver.spawn_kv_server`
+    — a stdlib TCP subprocess, the reference's IgniteStorage deployment
+    shape), terminated at interpreter exit. A fresh driver process gets
+    a fresh empty server, so the build's storage-existence guard forces
+    a clean rebuild instead of resuming onto missing values."""
+    if not _KV_SERVER:
+        import atexit
+
+        from mdbloom.spark.kvserver import spawn_kv_server
+        proc, port = spawn_kv_server()
+        atexit.register(proc.terminate)
+        _KV_SERVER.append((proc, port))
+    return _KV_SERVER[0][1]
+
+
+def q72_socket_storage_search(spark, sf_dir):
+    """q38's verified-search semantics with the value multimap living
+    ACROSS A REAL PROCESS BOUNDARY (VERDICT r4 item 8): a stdlib TCP KV
+    server subprocess (`mdbloom/spark/kvserver.py` — the live
+    counterpart of `IgniteStorage.java:48-101`, client put/get/scan
+    through a `Serde`) holds every payload row; the shared index
+    artifacts stay on disk. Same ANSI oracle as q13/q38: storage
+    placement — in-process, driver-resident, or networked — cannot
+    change query answers. Failure semantics (server killed -> resume
+    guard fires; unreachable read fails loudly) are pinned by
+    tests/test_kv_socket_storage.py."""
+    from mdbloom.spark.build import BloomIndexWriter, IndexConfig
+    from mdbloom.spark.kvserver import SocketKVStorage
+    from mdbloom.spark.query import BloomIndexReader
+    from mdbloom.spark.storage import register_storage_backend
+
+    register_storage_backend(
+        "socket", SocketKVStorage("127.0.0.1", _socket_kv_port()))
+    cfg = IndexConfig(n_per_record=32, probability=1e-3, n_shards=8,
+                      chunk_slots=4096, tag_columns=("lang", "source"),
+                      text_column="text", id_columns=("doc_id",),
+                      payload_columns=("lang", "source"),
+                      storage_backend="socket")
+    key = hashlib.md5((sf_dir + cfg.to_json()).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, f"docs_idx_sock_{key}")
+    docs = _t(spark, sf_dir, "documents")
+    BloomIndexWriter(spark, cfg).build(docs, path, resume=True)
+    r = BloomIndexReader(spark, path)
+    toks = ["lang=es", "tok=spark", "tok=window"]
+    return (r.search_verified(toks, docs)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 def _bpe_piece_rows(sf_dir: str = _ORACLE_SF_DIR,
                     num_merges: int = 150) -> list[tuple[str, int]]:
     """(pretoken, n_pieces) for every distinct corpus pretoken,
@@ -1948,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_ingest_gate": q69_ingest_gate,
         "q70_ivf_trained_topk": q70_ivf_trained_topk,
         "q71_bpe_merged_counts": q71_bpe_merged_counts,
+        "q72_socket_storage_search": q72_socket_storage_search,
     }
 
 
@@ -2413,6 +2468,15 @@ def oracle_sql() -> dict[str, str]:
         # storage backend (Storage/Serde SPI) -> identical oracle:
         # storage placement must not change answers
         "q38_storage_spi_memory": rf"""
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'es'
+              AND list_contains({_WORDS}, 'spark')
+              AND list_contains({_WORDS}, 'window')
+            ORDER BY doc_id
+        """,
+        # q72 = q38's exact semantics with the values across a real
+        # process boundary (socket KV subprocess) — same oracle.
+        "q72_socket_storage_search": rf"""
             SELECT doc_id, lang FROM documents
             WHERE lang = 'es'
               AND list_contains({_WORDS}, 'spark')
