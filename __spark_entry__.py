@@ -1861,6 +1861,81 @@ def q72_socket_storage_search(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_Q73_SRC = os.path.join(_CACHE_ROOT, "q73_latedata", "src")
+
+
+def q73_watermark_late_data(spark, sf_dir):
+    """Streaming LATE-DATA semantics under an oracle (VERDICT r4 item
+    9; q49 covers windowed aggregation itself): two sequential
+    availableNow runs over one checkpoint in APPEND mode, with the
+    second batch planting (a) a late row INSIDE the watermark — its
+    window is still open, it must be counted — and (b) a late row
+    BEYOND the watermark — its window's state was evicted after run 1,
+    it must be dropped — plus a flush row whose own window stays open
+    (excluded from the sink). The staged source parquet carries the
+    stage number, so the DuckDB oracle re-derives the watermark rule
+    DECLARATIVELY: wm₁ = max(stage-1 ts) − delay; drop stage-2 rows
+    whose window end ≤ wm₁; emit only windows closed by the final
+    watermark. Fixture times sit well away from boundary equality, so
+    <=-vs-< eviction conventions cannot flip a row."""
+    from mdbloom.spark.streaming import windowed_counts
+    base = 1767261600  # 2026-01-01T10:00:00Z — fixture anchor
+    root = os.path.dirname(_Q73_SRC)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(_Q73_SRC, exist_ok=True)
+
+        def stage(n, rows):
+            (spark.createDataFrame(
+                rows, "event_type string, minutes int, stage int")
+             .select("event_type",
+                     F.timestamp_seconds(F.lit(base)
+                                         + F.col("minutes") * 60)
+                     .alias("ts"), "stage")
+             .coalesce(1).write.mode("append").parquet(_Q73_SRC))
+
+        def run_once():
+            import uuid
+            stream = (spark.readStream
+                      .schema("event_type string, ts timestamp, "
+                              "stage int")
+                      .parquet(_Q73_SRC))
+            agg = windowed_counts(stream, "ts", "event_type",
+                                  window="10 minutes",
+                                  watermark="10 minutes")
+            q = (agg.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ckpt)
+                 .queryName(f"q73_{uuid.uuid4().hex[:8]}")
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("q73 streaming run stalled")
+
+        # run 1: watermark advances to 10:35 - 10min = 10:25; the
+        # 10:00-10:10 window closes and emits
+        stage(1, [("A", 0, 1), ("A", 5, 1), ("B", 30, 1), ("B", 35, 1)])
+        run_once()
+        # run 2: D@10:02 is beyond the watermark (window end 10:10 <=
+        # 10:25 -> dropped); L@10:28's window (10:20-10:30) is still
+        # open -> counted; C@11:00 counts; F@11:55 advances the final
+        # watermark to 11:45 but its own window stays open
+        stage(2, [("D", 2, 2), ("L", 28, 2), ("C", 60, 2),
+                  ("F", 115, 2)])
+        run_once()
+        with open(done, "w") as f:
+            f.write("ok")
+    out = spark.read.parquet(sink)
+    return (out.select(F.unix_micros(F.col("window.start"))
+                       .alias("win_start_us"),
+                       "event_type",
+                       F.col("n").cast("long").alias("n_events"))
+            .orderBy("win_start_us", "event_type"))
+
+
 def _bpe_piece_rows(sf_dir: str = _ORACLE_SF_DIR,
                     num_merges: int = 150) -> list[tuple[str, int]]:
     """(pretoken, n_pieces) for every distinct corpus pretoken,
@@ -2003,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_ivf_trained_topk": q70_ivf_trained_topk,
         "q71_bpe_merged_counts": q71_bpe_merged_counts,
         "q72_socket_storage_search": q72_socket_storage_search,
+        "q73_watermark_late_data": q73_watermark_late_data,
     }
 
 
@@ -2751,6 +2827,30 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n_events
             FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # q73: append-mode late-data semantics re-derived declaratively
+        # from the staged source: wm1 = max(stage-1 ts) - 10min drops
+        # stage-2 rows whose window closed; only final-watermark-closed
+        # windows emit.
+        "q73_watermark_late_data": rf"""
+            WITH src AS (
+                SELECT * FROM read_parquet('{_Q73_SRC}/*.parquet')),
+            wm1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w
+                    FROM src WHERE stage = 1),
+            wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM src),
+            b AS (SELECT event_type, stage,
+                         time_bucket(INTERVAL 10 MINUTE, ts) AS ws
+                  FROM src),
+            kept AS (
+                SELECT * FROM b
+                WHERE NOT (stage = 2 AND ws + INTERVAL 10 MINUTE
+                           <= (SELECT w FROM wm1)))
+            SELECT epoch_us(ws) AS win_start_us, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM kept
+            WHERE ws + INTERVAL 10 MINUTE <= (SELECT w FROM wmf)
             GROUP BY 1, 2
             ORDER BY 1, 2
         """,

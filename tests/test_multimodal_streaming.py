@@ -440,3 +440,49 @@ def test_ledger_requires_checkpoint_and_survives_query_restart(
     q2.awaitTermination(120)
     assert acc2.sketch.total == events.count()  # each row exactly once
     assert acc2.last_batch_id > acc.last_batch_id
+
+
+def test_append_mode_late_data_within_vs_beyond_watermark(spark, tmp_path):
+    """VERDICT r4 item 9, as direct assertions (the q73 oracle pins the
+    same semantics): across two availableNow runs sharing a checkpoint,
+    a late row whose window is still open (inside the watermark) is
+    counted; a late row whose window closed (beyond the watermark) is
+    dropped; an open trailing window never reaches the append sink."""
+    from mdbloom.spark.streaming import windowed_counts
+    base = 1767261600  # 2026-01-01T10:00:00Z
+    src, sink, ckpt = [str(tmp_path / d) for d in ("src", "sink", "ck")]
+
+    def stage(rows):
+        (spark.createDataFrame(rows, "event_type string, minutes int")
+         .select("event_type",
+                 F.timestamp_seconds(F.lit(base) + F.col("minutes") * 60)
+                 .alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("event_type string, ts timestamp").parquet(src))
+        agg = windowed_counts(stream, "ts", "event_type",
+                              window="10 minutes", watermark="10 minutes")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    stage([("A", 0), ("A", 5), ("B", 30), ("B", 35)])
+    run_once()  # watermark now 10:25; window 10:00-10:10 closed+emitted
+    got1 = {(r.event_type, r.window.start.minute): r.n
+            for r in spark.read.parquet(sink).collect()}
+    assert got1 == {("A", 0): 2}
+    # beyond-watermark D@10:02 dropped; within-watermark L@10:28 counted;
+    # F@11:55 advances the final watermark to 11:45 (own window open)
+    stage([("D", 2), ("L", 28), ("C", 60), ("F", 115)])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    got = {(r.event_type, r.window.start.hour * 60
+            + r.window.start.minute): r.n for r in rows}
+    assert got == {("A", 600): 2,    # run-1 emission, D never added
+                   ("L", 620): 1,    # late WITHIN watermark: counted
+                   ("B", 630): 2,
+                   ("C", 660): 1}
+    assert not any(r.event_type in ("D", "F") for r in rows)
