@@ -124,11 +124,15 @@ def main():
         return out
 
     def timed_best2(name, fn):
-        """Best-of-2 for the BANDWIDTH-CLASS keys (build, shingle /
-        minhash joins — the operators BENCH.md capture #6 shows
-        degrading 3× in a mid-run collapse while query keys stay
-        healthy): one episodic collapse can no longer define the
-        round's number. Both attempts are recorded additively
+        """Best-of-2 (VERDICT r4 item 2): one episodic host collapse
+        can no longer define a key or the round. BENCH.md capture #6 —
+        and this round's own healthy-window capture, where a mid-run
+        blip put 7-11× on four consecutive keys while entry AND exit
+        canaries stayed green — show the collapse striking a contiguous
+        SEGMENT between canaries, so every engine-timed key retries
+        once; only ``synthesize_input`` (input staging) and the COLD
+        slab-SQL key (first-invocation JIT is what it measures) stay
+        single-shot. Both attempts are recorded additively
         (``<name>_attempts``); the stable key keeps single-run
         semantics as the better attempt. ``value`` sums stable keys
         only — run-to-run comparability is unchanged."""
@@ -186,7 +190,7 @@ def main():
         out = reader.search_many(all_queries, via="slab")
         return out.groupBy("query").count().count()
 
-    timed("bloom_search", search_batched)
+    timed_best2("bloom_search", search_batched)
     extra["queries_per_sec_search"] = round(
         len(all_queries) / times["bloom_search"], 2)
 
@@ -197,7 +201,7 @@ def main():
         out = reader.search_linear_many(all_queries)
         return out.groupBy("query").count().count()
 
-    timed("bloom_search_linear", search_linear_batched)
+    timed_best2("bloom_search_linear", search_linear_batched)
     extra["queries_per_sec_search_linear"] = round(
         len(all_queries) / times["bloom_search_linear"], 2)
 
@@ -217,14 +221,14 @@ def main():
     # absorbs it; both are ~1 s warm). A long-lived cluster — the
     # 100 TB deployment shape — runs warm, so report that steady state
     # alongside the cold number instead of hiding either.
-    timed("bloom_search_slab_sql_warm", search_slab_sql_batched)
+    timed_best2("bloom_search_slab_sql_warm", search_slab_sql_batched)
     extra["queries_per_sec_search_slab_sql_warm"] = round(
         len(all_queries) / times["bloom_search_slab_sql_warm"], 2)
 
     def search_single():  # per-query job-chain latency, for contrast
         return reader.search(probes[0]).count()
 
-    timed("bloom_search_single", search_single)
+    timed_best2("bloom_search_single", search_single)
 
     def verified_two():
         n = 0
@@ -232,7 +236,7 @@ def main():
             n += reader.search_verified(toks, tdf).count()
         return n
 
-    timed("bloom_search_verified", verified_two)
+    timed_best2("bloom_search_verified", verified_two)
 
     # observed FPR, engine level (r1 key semantics — ADVICE r2: this key
     # means hit-row ratio of known-absent probes through the full query
@@ -243,7 +247,7 @@ def main():
         return reader.search_many(
             {f"a{i}": t for i, t in enumerate(absent)}, via="slab").count()
 
-    fp_rows = timed("bloom_fpr_probe", fpr)
+    fp_rows = timed_best2("bloom_fpr_probe", fpr)
     extra["fpr_observed_rows"] = int(fp_rows)
     extra["fpr_observed"] = round(
         fp_rows / (len(absent) * max(stats["rows"], 1)), 10)
@@ -309,7 +313,7 @@ def main():
         predicted = float(np.mean((card / m) ** k))
         return observed, predicted
 
-    obs, pred = timed("bloom_fpr_filters_100k", fpr_filters)
+    obs, pred = timed_best2("bloom_fpr_filters_100k", fpr_filters)
     extra["fpr_filter_observed"] = round(obs, 8)
     extra["fpr_filter_predicted"] = round(pred, 8)
     extra["fpr_designed"] = reader.shape.probability
@@ -343,7 +347,7 @@ def main():
         return minhash_near_dups(docs, num_perm=64, bands=32, n=3,
                                  threshold=0.5).count()
 
-    timed("q16_minhash_near_dups", q16_bench)
+    timed_best2("q16_minhash_near_dups", q16_bench)
 
     # ---- round-4 curation operators at sf scale (ADDITIVE keys — the
     # pre-r4 keys above are unchanged for cross-round comparability)
@@ -360,7 +364,7 @@ def main():
         shutil.rmtree(path, ignore_errors=True)
         return n
 
-    timed("ivf_build_topk", ivf_bench)
+    timed_best2("ivf_build_topk", ivf_bench)
 
     def pack_bench():
         from mdbloom.spark.textops import pack_sequences, words_col
@@ -369,19 +373,19 @@ def main():
                         F.size(words_col("text")).cast("long"))
         return pack_sequences(docs, 2048, ["doc_id"]).count()
 
-    timed("pack_sequences", pack_bench)
+    timed_best2("pack_sequences", pack_bench)
 
     def rollup_bench():
         from mdbloom.spark.transcripts import conversation_rollup
         return conversation_rollup(tdf).count()
 
-    timed("conversation_rollup", rollup_bench)
+    timed_best2("conversation_rollup", rollup_bench)
 
     def windows_bench():
         from mdbloom.spark.transcripts import conversation_windows
         return conversation_windows(tdf, k=4).count()
 
-    timed("context_windows", windows_bench)
+    timed_best2("context_windows", windows_bench)
 
     shutil.rmtree(idx_path, ignore_errors=True)
     shutil.rmtree(src_path, ignore_errors=True)
