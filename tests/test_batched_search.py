@@ -655,3 +655,39 @@ def test_planner_bounded_at_10k_shards_256_queries(spark, tmp_path):
     total = sum(len(v) for v in got.values()
                 if v is not BloomIndexReader.ALL_SHARDS)
     assert total <= len(queries) * (cap + 1)
+
+
+def test_distributed_planner_wired_into_strategies(spark, reader,
+                                                   monkeypatch):
+    """Past DRIVER_PRUNE_MAX_SHARDS manifest rows, _plan_query_batch
+    switches to the DISTRIBUTED planner (bounded driver memory); all
+    three batched strategies must return exactly the driver-planned
+    rows — and with every plan degraded to ALL_SHARDS (the over-cap
+    fallback), the unpruned scan must still return the same rows
+    (sound superset: pruning is an optimization, never a filter)."""
+    queries = {
+        "a": reader.transcript_query_tokens("assistant", None, ["w00001"]),
+        "b": reader.transcript_query_tokens(None, "Bash", ["w00005"]),
+        "every": [],
+        "absent": ["tok=zzznope"],
+    }
+    cols = ["query", "conv_id", "turn_idx"]
+
+    def rows(df):
+        return set(map(tuple, df.select(*cols).toPandas()
+                       .itertuples(index=False)))
+
+    want = {via: rows(reader.search_many(queries, via=via))
+            for via in ("slab", "linear", "slab_sql")}
+    assert want["slab"] == want["linear"] == want["slab_sql"]
+
+    monkeypatch.setattr(reader, "DRIVER_PRUNE_MAX_SHARDS", 0)
+    for via in ("slab", "linear", "slab_sql"):
+        assert rows(reader.search_many(queries, via=via)) == want[via], via
+
+    # every plan degraded to the over-cap sentinel: scan-unpruned, same rows
+    monkeypatch.setattr(
+        reader, "prune_shards_many_distributed",
+        lambda qs, **kw: {q: BloomIndexReader.ALL_SHARDS for q in qs})
+    for via in ("slab", "linear", "slab_sql"):
+        assert rows(reader.search_many(queries, via=via)) == want[via], via
