@@ -80,12 +80,33 @@ def test_cosine_topk_plans_take_ordered_not_global_window(spark):
 
 
 def test_slab_scan_prunes_shards_at_source(reader):
-    """The batched slab path must filter shards INSIDE the parquet scan
-    (partition pruning on the shard-partitioned slab table), not after."""
-    qs = {"a": reader.transcript_query_tokens("assistant", "Bash",
-                                              ["w00001"])}
-    plan = plan_str(reader.search_keys_many(qs))
+    """A query whose gate pruning keeps a PROPER subset of shards must
+    filter them INSIDE the parquet scan (partition pruning on the
+    shard-partitioned slab table), not after; a query that survives in
+    EVERY shard is hoisted to the shared global plan and scans
+    UNFILTERED — the correct full-coverage plan (a redundant
+    isin(all-shards) literal would grow with the shard count for
+    nothing; see search_keys_many's global-plan compression)."""
+    n_total = len(reader._prune_matrices()[0])
+    pruning_toks = None
+    for w in [f"w{49_00 + i:05d}" for i in range(60, 100)]:
+        toks = [f"tok={w}"]
+        kept = reader.prune_shards(reader.query_bits(toks), toks)
+        if 0 < len(kept) < n_total:
+            pruning_toks = toks
+            break
+    assert pruning_toks, "fixture has no shard-pruning rare token"
+    plan = plan_str(reader.search_keys_many({"a": pruning_toks}))
     assert "MapInPandas" in plan  # the NumPy kernel really is in the plan
     scan_lines = [ln for ln in plan.splitlines()
                   if "PartitionFilters" in ln or "PushedFilters" in ln]
     assert any("shard" in ln for ln in scan_lines), scan_lines
+
+    # full-coverage query: global plan, unfiltered scan (still the kernel)
+    broad = {"b": reader.transcript_query_tokens("assistant", "Bash",
+                                                 ["w00001"])}
+    kept = reader.prune_shards(
+        reader.query_bits(broad["b"]), broad["b"])
+    assert len(kept) == n_total  # fixture invariant: w00001 is everywhere
+    plan_b = plan_str(reader.search_keys_many(broad))
+    assert "MapInPandas" in plan_b
