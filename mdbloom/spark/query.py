@@ -684,16 +684,16 @@ class BloomIndexReader:
         """Containment search -> DataFrame (shard, slot, key) of candidate
         index entries."""
         qbits = self.query_bits(tokens)
-        shards = self.prune_shards(qbits, tokens)
+        shards = self._prune_single(qbits, tokens)
         slotmap = self.slotmap()
-        if not shards:
+        if shards is not self.ALL_SHARDS and not shards:
             return slotmap.where(F.lit(False))
         if qbits.size == 0:
             # empty query matches everything (ContainerImpl.java:159-169)
             return slotmap
         m = self.shape.m
         qbits_l = qbits.tolist()
-        slabs = self.slabs().where(F.col("shard").isin(shards))
+        slabs = self._where_shards(self.slabs(), shards)
 
         def scan(iterator):
             qb = np.asarray(qbits_l, dtype=np.int64)
@@ -748,6 +748,30 @@ class BloomIndexReader:
                 for f in glob.glob(os.path.join(self.path, "manifest",
                                                 "*.parquet")))
         return self._n_manifest_rows
+
+    def _prune_single(self, qbits, tokens):
+        """Shard candidates for ONE query under the same planner-regime
+        switch as :meth:`_plan_query_batch`: driver-matrix prune loop
+        up to :data:`DRIVER_PRUNE_MAX_SHARDS` manifest rows, one
+        distributed planning pass past it. Returns a shard list, an
+        empty list for a definite miss, or :data:`ALL_SHARDS` (scan
+        unpruned — over-cap survivors or a match-all query at huge
+        scale, where materializing 'every shard' as a list is exactly
+        the driver-memory cross product the cap exists to avoid)."""
+        if self._manifest_row_count() <= self.DRIVER_PRUNE_MAX_SHARDS:
+            return self.prune_shards(qbits, tokens)
+        if qbits.size == 0:
+            return self.ALL_SHARDS  # empty query matches everything
+        got = self.prune_shards_many_distributed({"q": list(tokens)})["q"]
+        return got
+
+    def _where_shards(self, df: DataFrame, shards) -> DataFrame:
+        """Apply a shard restriction unless it is the no-restriction
+        sentinel (the unpruned scan IS the intended plan then)."""
+        if shards is self.ALL_SHARDS:
+            return df
+        return df.where(F.col("shard").isin(
+            [int(s) for s in shards]))
 
     def _plan_query_batch(self, queries: dict):
         """Shared batched-query planning for EVERY batched strategy
@@ -981,11 +1005,12 @@ class BloomIndexReader:
         df = self.storage(keep_filter=True)
         if qbits.size == 0:
             return df.drop("filter")  # empty query matches everything
-        shards = self.prune_shards(qbits, tokens)
-        if not shards:
+        shards = self._prune_single(qbits, tokens)
+        if shards is not self.ALL_SHARDS and not shards:
             return df.where(F.lit(False)).drop("filter")
         qwords = B.from_bits(qbits, self.shape.m).view(np.int64)
-        cond = F.col("shard").isin(shards)
+        cond = F.lit(True) if shards is self.ALL_SHARDS \
+            else F.col("shard").isin([int(s) for s in shards])
         for w in np.flatnonzero(qwords != 0):
             mask = int(qwords[w])
             cond = cond & (F.element_at("filter", int(w) + 1)
@@ -1415,11 +1440,11 @@ class BloomIndexReader:
             key = B.content_key(filt)
             qbits = np.flatnonzero(
                 B.unpack(filt, self.shape.m)).astype(np.int64)
-        shards = self.prune_shards(qbits, tokens)
-        if not shards:
+        shards = self._prune_single(qbits, tokens)
+        if shards is not self.ALL_SHARDS and not shards:
             return self.storage().where(F.lit(False))
-        return self.storage().where(
-            F.col("shard").isin(shards) & (F.col("key") == key))
+        return self._where_shards(self.storage(), shards).where(
+            F.col("key") == key)
 
     def get_bitexact(self, tokens, via: str = "linear") -> DataFrame:
         """PHYSICAL exact-get variants — equality decided on the stored
@@ -1448,12 +1473,12 @@ class BloomIndexReader:
         else:
             qbits = np.flatnonzero(B.unpack(
                 self._cache.filter_for(list(tokens)), m)).astype(np.int64)
-        shards = self.prune_shards(qbits, tokens)
-        if not shards:
+        shards = self._prune_single(qbits, tokens)
+        if shards is not self.ALL_SHARDS and not shards:
             return self.storage().where(F.lit(False))
         if via == "slab" and qbits.size:
-            keys = (self.search_keys(tokens).select("shard", "key")
-                    .where(F.col("shard").isin(shards)))
+            keys = self._where_shards(
+                self.search_keys(tokens).select("shard", "key"), shards)
             cand = (self.storage(keep_filter=True)
                     .join(keys, ["shard", "key"], "left_semi"))
             popcnt = F.aggregate(
@@ -1461,7 +1486,8 @@ class BloomIndexReader:
                 lambda a, w: a + F.bit_count(w))
             return cand.where(popcnt == int(qbits.size)).drop("filter")
         qwords = B.from_bits(qbits, m).view(np.int64)
-        cond = F.col("shard").isin(shards)
+        cond = F.lit(True) if shards is self.ALL_SHARDS \
+            else F.col("shard").isin([int(s) for s in shards])
         for i in range(len(qwords)):
             cond = cond & (F.element_at("filter", i + 1)
                            == F.lit(int(qwords[i])))
@@ -1479,6 +1505,7 @@ class BloomIndexReader:
         requested by several names returns a row per name."""
         plans: list[tuple[str, str]] = []  # (name, content key)
         all_shards: set[int] = set()
+        any_unrestricted = False
         if self._jvm_hasher is not None:
             self._jvm_hasher._ensure(
                 {t for toks in queries.values() for t in toks})
@@ -1491,19 +1518,23 @@ class BloomIndexReader:
                 key = B.content_key(filt)
                 qbits = np.flatnonzero(
                     B.unpack(filt, self.shape.m)).astype(np.int64)
-            shards = self.prune_shards(qbits, toks)
-            if not shards:
+            shards = self._prune_single(qbits, toks)
+            if shards is self.ALL_SHARDS:
+                any_unrestricted = True
+            elif not shards:
                 continue  # gate short-circuit (`ContainerImpl.java:115`)
+            else:
+                all_shards.update(shards)
             plans.append((name, key))
-            all_shards.update(shards)
         storage = self.storage()
         if not plans:
             return (storage.where(F.lit(False))
                     .withColumn("query", F.lit(""))
                     .select("query", *storage.columns))
         keys = sorted({k for _, k in plans})
-        hit = storage.where(F.col("shard").isin(sorted(all_shards))
-                            & F.col("key").isin(keys))
+        hit = storage.where(F.col("key").isin(keys))
+        if not any_unrestricted:
+            hit = hit.where(F.col("shard").isin(sorted(all_shards)))
         tag = self.spark.createDataFrame(plans, schema="query string, "
                                                        "key string")
         return (hit.join(F.broadcast(tag), "key", "inner")

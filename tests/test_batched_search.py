@@ -691,3 +691,35 @@ def test_distributed_planner_wired_into_strategies(spark, reader,
         lambda qs, **kw: {q: BloomIndexReader.ALL_SHARDS for q in qs})
     for via in ("slab", "linear", "slab_sql"):
         assert rows(reader.search_many(queries, via=via)) == want[via], via
+
+
+def test_distributed_planner_single_query_paths(spark, reader,
+                                                monkeypatch):
+    """The single-query surfaces (search, search_linear, get,
+    get_bitexact, get_many) share the planner-regime switch: forced
+    into the distributed regime — and then with every plan degraded to
+    ALL_SHARDS — each returns exactly its driver-planned rows."""
+    toks = reader.transcript_query_tokens("assistant", None, ["w00001"])
+    cols = ["conv_id", "turn_idx"]
+
+    def snap():
+        return {
+            "search": sorted(map(tuple, reader.search(toks)
+                                 .select(*cols).collect())),
+            "linear": sorted(map(tuple, reader.search_linear(toks)
+                                 .select(*cols).collect())),
+            "get": sorted(map(tuple, reader.get(toks)
+                              .select(*cols).collect())),
+            "bx": sorted(map(tuple, reader.get_bitexact(toks)
+                             .select(*cols).collect())),
+            "many": sorted(map(tuple, reader.get_many({"a": toks})
+                               .select("query", *cols).collect())),
+        }
+
+    want = snap()
+    monkeypatch.setattr(reader, "DRIVER_PRUNE_MAX_SHARDS", 0)
+    assert snap() == want
+    monkeypatch.setattr(
+        reader, "prune_shards_many_distributed",
+        lambda qs, **kw: {q: BloomIndexReader.ALL_SHARDS for q in qs})
+    assert snap() == want
