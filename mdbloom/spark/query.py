@@ -1509,6 +1509,11 @@ class BloomIndexReader:
         if self._jvm_hasher is not None:
             self._jvm_hasher._ensure(
                 {t for toks in queries.values() for t in toks})
+        # huge-manifest regime: ONE distributed planning pass for the
+        # whole batch (per-query _prune_single would launch Q jobs)
+        batch_pruned = None
+        if self._manifest_row_count() > self.DRIVER_PRUNE_MAX_SHARDS:
+            batch_pruned = self.prune_shards_many_distributed(queries)
         for name, toks in queries.items():
             if self._jvm_hasher is not None:
                 key = self._jvm_hasher.content_key(list(toks), self.shape)
@@ -1518,7 +1523,11 @@ class BloomIndexReader:
                 key = B.content_key(filt)
                 qbits = np.flatnonzero(
                     B.unpack(filt, self.shape.m)).astype(np.int64)
-            shards = self._prune_single(qbits, toks)
+            if batch_pruned is not None:
+                shards = (self.ALL_SHARDS if qbits.size == 0
+                          else batch_pruned[name])
+            else:
+                shards = self.prune_shards(qbits, toks)
             if shards is self.ALL_SHARDS:
                 any_unrestricted = True
             elif not shards:
